@@ -1,0 +1,142 @@
+"""DNA handling: complement, reverse-complement, codon translation,
+six-frame protein generation.
+
+Parity targets:
+
+* ``GENETIC_CODE`` — the engine-internal bacterial code table used by
+  KmerGuts::translate for DNA inputs (/root/reference/kguts.cc:24-29);
+  ambiguous codons produce ``'x'`` (offset 20) (kguts.cc:529-532).
+* ``TABLE_11`` — the NCBI-style table-11 built from the 5-row raw spec
+  (/root/reference/trans_table.cc:8-15,36-63); ambiguous codons produce
+  ``'X'``.  Used by the FASTQ path (fq_process_request.cc:306).
+* complement table — the full-IUPAC complement shared by KmerGuts::comp
+  (kguts.cc:341-425) and DNASequence::complement (dna_seq.h:28-111),
+  including its quirks ('s'->'S' uppercases, 'w'->'w' does not).
+* ``get_possible_proteins`` — 6 frames, each split on stop codons with
+  run-compression (dna_seq.cc:9-23, boost token_compress_on).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+# Indexed by c1*16 + c2*4 + c3 with A=0, C=1, G=2, T/U=3 (kguts.cc:24-29).
+GENETIC_CODE = (
+    "KNKNTTTTRSRSIIMI"
+    "QHQHPPPPRRRRLLLL"
+    "EDEDAAAAGGGGVVVV"
+    "*Y*YSSSS*CWCLFLF"
+)
+
+# trans_table.cc:8-15 raw table-11 spec rows (Base1*16+Base2*4+Base3
+# indexing, same A=0,C=1,G=2,T=3 encoding; trans_table.h:72-83).
+_T11_AAS = "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG"
+_T11_B1 = "TTTTTTTTTTTTTTTTCCCCCCCCCCCCCCCCAAAAAAAAAAAAAAAAGGGGGGGGGGGGGGGG"
+_T11_B2 = "TTTTCCCCAAAAGGGGTTTTCCCCAAAAGGGGTTTTCCCCAAAAGGGGTTTTCCCCAAAAGGGG"
+_T11_B3 = "TCAGTCAGTCAGTCAGTCAGTCAGTCAGTCAGTCAGTCAGTCAGTCAGTCAGTCAGTCAGTCAG"
+
+_DNA_CHAR = np.full(256, 4, dtype=np.uint8)  # kguts.cc:486-511 / trans_table.h:45-70
+for _c, _v in (("aA", 0), ("cC", 1), ("gG", 2), ("tTuU", 3)):
+    for _ch in _c:
+        _DNA_CHAR[ord(_ch)] = _v
+
+
+def _build_table(aas: str, b1: str, b2: str, b3: str) -> np.ndarray:
+    tbl = np.full(65, ord("X"), dtype=np.uint8)
+    for aa, c1, c2, c3 in zip(aas, b1, b2, b3):
+        idx = _DNA_CHAR[ord(c1)] * 16 + _DNA_CHAR[ord(c2)] * 4 + _DNA_CHAR[ord(c3)]
+        tbl[idx] = ord(aa)
+    tbl[64] = ord("X")
+    return tbl
+
+
+TABLE_11 = _build_table(_T11_AAS, _T11_B1, _T11_B2, _T11_B3)
+
+# KmerGuts internal table: same codon indexing, ambiguous -> 'x'
+# (lowercase, kguts.cc:530).
+KGUTS_TABLE = np.frombuffer(GENETIC_CODE.encode(), dtype=np.uint8).copy()
+KGUTS_TABLE = np.concatenate([KGUTS_TABLE, np.array([ord("x")], dtype=np.uint8)])
+
+# Full IUPAC complement (kguts.cc:341-425 == dna_seq.h:28-111, including
+# the 's'->'S' uppercase quirk and 'w'->'w' non-quirk).
+_COMP = np.arange(256, dtype=np.uint8)  # default: identity (kguts.cc:422-423)
+for _src, _dst in [
+    ("a", "t"), ("A", "T"), ("c", "g"), ("C", "G"), ("g", "c"), ("G", "C"),
+    ("t", "a"), ("u", "a"), ("T", "A"), ("U", "A"),
+    ("m", "k"), ("M", "K"), ("r", "y"), ("R", "Y"),
+    ("w", "w"), ("W", "W"), ("s", "S"), ("S", "S"),
+    ("y", "r"), ("Y", "R"), ("k", "m"), ("K", "M"),
+    ("b", "v"), ("B", "V"), ("d", "h"), ("D", "H"),
+    ("h", "d"), ("H", "D"), ("v", "b"), ("V", "B"),
+    ("n", "n"), ("N", "N"),
+]:
+    _COMP[ord(_src)] = ord(_dst)
+COMPLEMENT = _COMP
+
+
+def _to_bytes(seq: str | bytes) -> np.ndarray:
+    if isinstance(seq, str):
+        seq = seq.encode("latin-1")
+    return np.frombuffer(seq, dtype=np.uint8)
+
+
+def rev_comp(seq: str | bytes) -> str:
+    """Reverse complement (kguts.cc:427-436 / dna_seq.cc:39-47)."""
+    b = _to_bytes(seq)
+    return COMPLEMENT[b[::-1]].tobytes().decode("latin-1")
+
+
+def _translate_frame(b: np.ndarray, off: int, table: np.ndarray) -> str:
+    """Translate bytes from offset ``off`` in codon steps.
+
+    Codon count = floor((len-off)/3), matching both KmerGuts::translate
+    (kguts.cc:513-539: loop while start <= len-3) and
+    TranslationTable::translate (trans_table.cc:65-84).
+    """
+    n = (len(b) - off) // 3
+    if n <= 0:
+        return ""
+    c = b[off : off + 3 * n].reshape(n, 3)
+    d = _DNA_CHAR[c]
+    idx = d[:, 0] * 16 + d[:, 1] * 4 + d[:, 2]
+    idx = np.where((d >= 4).any(axis=1), 64, idx)
+    return table[idx].tobytes().decode("latin-1")
+
+
+def translate_kguts(seq: str | bytes, off: int) -> str:
+    """KmerGuts::translate parity: engine-internal code, ambiguous->'x'."""
+    return _translate_frame(_to_bytes(seq), off, KGUTS_TABLE)
+
+
+def translate_t11(seq: str | bytes, off: int = 0) -> str:
+    """TranslationTable(11) parity: ambiguous->'X'."""
+    return _translate_frame(_to_bytes(seq), off, TABLE_11)
+
+
+def six_frames_kguts(seq: str | bytes) -> list[tuple[str, int, str]]:
+    """The six (strand, offset, protein) translations in KmerGuts::process_seq
+    order (kguts.cc:910-937): +0,+1,+2 then -0,-1,-2 on the reverse
+    complement."""
+    out = []
+    for off in range(3):
+        out.append(("+", off, translate_kguts(seq, off)))
+    rc = rev_comp(seq)
+    for off in range(3):
+        out.append(("-", off, translate_kguts(rc, off)))
+    return out
+
+
+def get_possible_proteins(seq: str | bytes) -> list[tuple[int, list[str]]]:
+    """DNASequence::get_possible_proteins parity (dna_seq.cc:9-23): frames
+    1,2,3,-1,-2,-3 translated with table 11, each split on runs of '*'
+    (boost token_compress_on keeps leading/trailing empty tokens)."""
+    b = _to_bytes(seq)
+    rc = _to_bytes(rev_comp(seq))
+    out = []
+    for frame in (1, 2, 3, -1, -2, -3):
+        src = rc if frame < 0 else b
+        p = _translate_frame(src, abs(frame) - 1, TABLE_11)
+        out.append((frame, re.split(r"\*+", p)))
+    return out
