@@ -1,0 +1,227 @@
+"""TPU batch engine: encode → probe → score.
+
+The reference engine scans one sequence at a time on one CPU thread,
+chasing linear-probe chains through a giant mmap
+(/root/reference/kguts.cc:783-877, 585-602).  The TPU-native replacement
+processes a padded batch ``[B, L]`` of amino-acid offsets in three stages:
+
+1. **window encode** — every window start position gets an int32
+   ``(hi, lo)`` code pair via strided adds (no 64-bit math, no rolling
+   dependence: position i's code depends only on ``aa[i:i+8]``);
+2. **probe** — a branchless batched binary search against the two-level
+   sorted signature index (:class:`close_kmers_tpu.db.signature_db.SignatureDB`):
+   gather the ``bucket_start`` bounds for ``hi``, then a fixed-step
+   lower-bound search over the bucket's ``lo`` values, then payload
+   gathers.  Replaces lookup_hash_entry's memory-latency-bound chain walk
+   with bandwidth-friendly vectorized gathers;
+3. **score** — the sequential run/gap/two-hit state machine
+   (kguts.cc:734-877).  Stage 3 consumes only the tiny per-sequence hit
+   lists (typically 1-3 orders of magnitude smaller than the position
+   stream), so v0 replays it on the host through the same
+   :class:`close_kmers_tpu.core.oracle.GatherState` the oracle uses —
+   bit-identical by construction.  A native C++ replayer and an on-device
+   scan are drop-in replacements behind the same hit-list interface.
+
+Exactness: stages 1+2 are exact (integer compares); they are tested
+position-for-position against the oracle's scalar loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import K, EngineParams
+from ..ops.encoder import seq_to_offsets
+from ..db.signature_db import SignatureDB
+from . import oracle as O
+
+
+@dataclasses.dataclass
+class DeviceDB:
+    """Signature DB resident on device (single-chip form).
+
+    ``n_steps`` is the static binary-search depth = ceil(log2(max bucket
+    size + 1)); it is part of the jit cache key, so probing recompiles
+    only when a new DB has a deeper bucket.
+    """
+
+    bucket_start: jax.Array  # i32[HI_CARD+1]
+    lo: jax.Array            # i32[N]
+    fi: jax.Array            # i32[N]
+    oi: jax.Array            # i32[N]
+    avg_off: jax.Array       # i32[N]
+    wt: jax.Array            # f32[N]
+    n_steps: int
+    n: int
+
+    @classmethod
+    def from_db(cls, db: SignatureDB, device=None) -> "DeviceDB":
+        put = functools.partial(jax.device_put, device=device)
+        n_steps = max(1, math.ceil(math.log2(db.max_bucket + 1))) if len(db) else 1
+        # Pad payload arrays by one row so clipped gathers at index N stay
+        # in bounds.
+        pad = lambda a, v: np.concatenate([a, np.array([v], dtype=a.dtype)])
+        return cls(
+            bucket_start=put(jnp.asarray(db.bucket_start)),
+            lo=put(jnp.asarray(pad(db.lo, np.int32(-1)))),
+            fi=put(jnp.asarray(pad(db.fi, np.int32(-1)))),
+            oi=put(jnp.asarray(pad(db.oi, np.int32(-1)))),
+            avg_off=put(jnp.asarray(pad(db.avg_off, np.int32(0)))),
+            wt=put(jnp.asarray(pad(db.wt, np.float32(0.0)))),
+            n_steps=n_steps,
+            n=len(db),
+        )
+
+
+def encode_windows(offsets: jax.Array, lengths: jax.Array):
+    """[B, L] uint8 offsets -> (hi, lo, valid) over the W = L-K window
+    start positions.
+
+    ``valid`` combines the all-8-chars-valid window test with the
+    reference's exclusive scan bound p < len-K (kguts.cc:792): the final
+    full window of each sequence is deliberately excluded.
+    """
+    B, L = offsets.shape
+    W = L - K
+    if W <= 0:
+        raise ValueError(f"padded length {L} must exceed {K}")
+    off = offsets.astype(jnp.int32)
+    hi = jnp.zeros((B, W), jnp.int32)
+    lo = jnp.zeros((B, W), jnp.int32)
+    ok = jnp.ones((B, W), jnp.bool_)
+    for j in range(K // 2):
+        hi = hi * 20 + off[:, j:j + W]
+        lo = lo * 20 + off[:, K // 2 + j:K // 2 + j + W]
+    for j in range(K):
+        ok = ok & (off[:, j:j + W] < 20)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    ok = ok & (pos < lengths[:, None] - K)
+    return hi, lo, ok
+
+
+def probe_windows(ddb: DeviceDB, hi, lo, valid):
+    """Batched two-level probe.  Returns (found, fi, oi, avg_off, wt),
+    all shaped like ``hi``.
+
+    Semantics: found[b,i] iff the signature DB contains the kmer encoded
+    by window (hi,lo)[b,i] — equivalent to lookup_hash_entry >= 0
+    (kguts.cc:585-602).
+    """
+    hi_c = jnp.where(valid, hi, 0)
+    lo_c = jnp.where(valid, lo, -2)
+    left = ddb.bucket_start[hi_c]
+    right = ddb.bucket_start[hi_c + 1]
+    end = right
+    # Branchless lower_bound: after n_steps halvings left==right==insertion
+    # point of lo_c in ddb.lo[left:end).
+    for _ in range(ddb.n_steps):
+        cont = left < right
+        mid = (left + right) >> 1
+        v = ddb.lo[jnp.minimum(mid, ddb.n)]
+        go_right = cont & (v < lo_c)
+        left = jnp.where(go_right, mid + 1, left)
+        right = jnp.where(cont & ~go_right, mid, right)
+    idx = jnp.minimum(left, ddb.n)
+    found = valid & (left < end) & (ddb.lo[idx] == lo_c)
+    return (found, ddb.fi[idx], ddb.oi[idx], ddb.avg_off[idx], ddb.wt[idx])
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def _probe_batch_jit(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
+                     n, n_steps, offsets, lengths):
+    ddb = DeviceDB(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
+                   n_steps, n)
+    hi, lo, valid = encode_windows(offsets, lengths)
+    return probe_windows(ddb, hi, lo, valid)
+
+
+class TpuEngine:
+    """Single-chip batch annotation engine.
+
+    Usage::
+
+        eng = TpuEngine(db)
+        results = eng.process_batch([("id1", "MKLV..."), ...])
+
+    Each result mirrors process_aa_seq outputs: (calls, hits, otu).
+    """
+
+    def __init__(self, db: SignatureDB, device=None):
+        self.db = db
+        self.ddb = DeviceDB.from_db(db, device=device)
+
+    def probe_padded(self, offsets: np.ndarray, lengths: np.ndarray):
+        """Run stages 1+2 on a padded uint8 batch; returns numpy arrays
+        (found, fi, oi, avg_off, wt) of shape [B, L-K]."""
+        d = self.ddb
+        out = _probe_batch_jit(d.bucket_start, d.lo, d.fi, d.oi, d.avg_off,
+                               d.wt, d.n, d.n_steps,
+                               jnp.asarray(offsets), jnp.asarray(lengths))
+        return tuple(np.asarray(x) for x in out)
+
+    def hits_of_batch(self, seqs: list[str], pad_to: int | None = None):
+        """Encode+probe a list of sequences; returns per-sequence hit
+        lists of :class:`oracle.Hit` in position order (codes included
+        for HIT-line formatting)."""
+        B = len(seqs)
+        if B == 0:
+            return []
+        L = max(pad_to or 0, max(len(s) for s in seqs) + 1, K + 2)
+        # Round the padded length up to a power of two so repeated calls
+        # with varying max lengths share jit cache entries.
+        L = 1 << (L - 1).bit_length()
+        offsets = np.full((B, L), 20, dtype=np.uint8)
+        lengths = np.zeros(B, dtype=np.int32)
+        for i, s in enumerate(seqs):
+            o = seq_to_offsets(s)
+            offsets[i, :len(o)] = o
+            lengths[i] = len(o)
+        found, fi, oi, avg_off, wt = self.probe_padded(offsets, lengths)
+        out = []
+        for i in range(B):
+            pos = np.nonzero(found[i])[0]
+            hits = []
+            for p in pos:
+                p = int(p)
+                code = 0
+                for j in range(K):
+                    code = code * 20 + int(offsets[i, p + j])
+                hits.append(O.Hit(oI=int(oi[i, p]), pos=p,
+                                  avg_off=int(avg_off[i, p]), fI=int(fi[i, p]),
+                                  wt=float(wt[i, p]), code=code))
+            out.append(hits)
+        return out
+
+    def process_batch(self, items: list[tuple[str, str]],
+                      params: EngineParams | None = None,
+                      want_hits: bool = False, want_otu: bool = True):
+        """Full batch annotation: returns a list of (calls, hits, otu)
+        per input (id, seq) pair, equal to the oracle's process_aa_seq."""
+        params = params or EngineParams()
+        hit_lists = self.hits_of_batch([s for _, s in items])
+        results = []
+        for (seq_id, seq), hits in zip(items, hit_lists):
+            calls: list[O.Call] = []
+            otu = O.OtuStats() if want_otu else None
+            replay_hits(hits, params, calls, otu)
+            if otu is not None:
+                otu.finalize()
+            results.append((calls, hits if want_hits else None, otu))
+        return results
+
+
+def replay_hits(hits, params: EngineParams, calls, otu) -> None:
+    """Drive the exact gather-hits state machine over a precomputed,
+    position-ordered hit list.  The machine's transitions depend only on
+    the hit sequence (kguts.cc:808-877), so replay is equivalent to the
+    inline scan."""
+    state = O.GatherState(params)
+    for h in hits:
+        state.on_hit(h, calls, otu)
+    state.finish(calls, otu)

@@ -1,0 +1,153 @@
+"""Device engine vs CPU oracle parity: encode+probe positions, payloads,
+and full call/OTU outputs must match exactly."""
+
+import numpy as np
+import pytest
+
+from close_kmers_tpu.params import EngineParams, K
+from close_kmers_tpu.ops import encoder as E
+from close_kmers_tpu.core import oracle as O
+from close_kmers_tpu.core.engine import TpuEngine, replay_hits
+from close_kmers_tpu.db.signature_db import SignatureDB
+
+
+def random_db(rng, n_funcs=12, prot_len=80):
+    """Family-style signature DB: n_funcs reference proteins, each
+    contributing its kmers under its own function index — so queries
+    containing protein fragments produce real runs."""
+    prots = ["".join(rng.choice(list(E.PROT_ALPHA), size=prot_len))
+             for _ in range(n_funcs)]
+    seen = {}
+    for fi, p in enumerate(prots):
+        for i in range(len(p) - K + 1):
+            km = p[i:i + K]
+            if km not in seen:
+                seen[km] = (km, int(rng.integers(0, 300)), fi,
+                            float(np.float32(rng.uniform(0.1, 5.0))),
+                            int(rng.integers(-1, 10)))
+    db = SignatureDB.from_entries(seen.values(),
+                                  functions=[f"fn{i}" for i in range(n_funcs)])
+    db._test_prots = prots
+    return db
+
+
+def random_seqs(rng, db, n=40, max_len=200):
+    """Query sequences assembled from reference-protein fragments (runs),
+    junk, and ambiguity characters."""
+    prots = db._test_prots
+    seqs = []
+    for _ in range(n):
+        parts = []
+        total = 0
+        target = int(rng.integers(0, max_len))
+        while total < target:
+            r = rng.random()
+            if r < 0.6:
+                p = prots[int(rng.integers(0, len(prots)))]
+                a = int(rng.integers(0, len(p) - K))
+                b = int(rng.integers(a + K, min(len(p), a + 60) + 1))
+                s = p[a:b]
+            elif r < 0.85:
+                s = "".join(rng.choice(list(E.PROT_ALPHA), size=int(rng.integers(1, 12))))
+            else:
+                s = "".join(rng.choice(list("XxB*"), size=int(rng.integers(1, 3))))
+            parts.append(s)
+            total += len(s)
+        seqs.append("".join(parts))
+    return seqs
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(42)
+    db = random_db(rng)
+    seqs = random_seqs(rng, db)
+    eng = TpuEngine(db)
+    return db, seqs, eng
+
+
+def oracle_run(db, seq, params):
+    calls, hits, otu = [], [], O.OtuStats()
+    O.process_aa_seq(seq, db.lookup, params, calls, hits.append, otu)
+    return calls, hits, otu
+
+
+def test_hit_lists_match_oracle(setup):
+    db, seqs, eng = setup
+    params = EngineParams()
+    hit_lists = eng.hits_of_batch(seqs)
+    n_hits_total = 0
+    for seq, eng_hits in zip(seqs, hit_lists):
+        _, ora_hits, _ = oracle_run(db, seq, params)
+        assert len(eng_hits) == len(ora_hits), seq
+        for a, b in zip(eng_hits, ora_hits):
+            assert (a.pos, a.fI, a.oI, a.avg_off, a.code) == \
+                (b.pos, b.fI, b.oI, b.avg_off, b.code)
+            assert np.float32(a.wt) == np.float32(b.wt)
+        n_hits_total += len(eng_hits)
+    assert n_hits_total > 100  # the corpus actually exercises the probe
+
+
+def test_calls_and_otus_match_oracle(setup):
+    db, seqs, eng = setup
+    for params in [EngineParams(), EngineParams(min_hits=2, max_gap=30),
+                   EngineParams(min_hits=1), EngineParams(min_weighted_hits=3)]:
+        results = eng.process_batch([(f"s{i}", s) for i, s in enumerate(seqs)],
+                                    params, want_hits=True)
+        n_calls = 0
+        for seq, (calls, hits, otu) in zip(seqs, results):
+            o_calls, _, o_otu = oracle_run(db, seq, params)
+            assert len(calls) == len(o_calls), (seq, params)
+            for a, b in zip(calls, o_calls):
+                assert (a.start, a.end, a.count, a.fI) == (b.start, b.end, b.count, b.fI)
+                assert np.float32(a.weighted) == np.float32(b.weighted)
+            assert otu.otus_by_count == o_otu.otus_by_count
+            n_calls += len(calls)
+        assert n_calls > 0
+
+
+def test_order_constraint_parity(setup):
+    db, seqs, eng = setup
+    params = EngineParams(order_constraint=1, min_hits=2)
+    results = eng.process_batch([(f"s{i}", s) for i, s in enumerate(seqs)], params)
+    for seq, (calls, _, otu) in zip(seqs, results):
+        o_calls, _, o_otu = oracle_run(db, seq, params)
+        assert [(c.start, c.end, c.count, c.fI) for c in calls] == \
+            [(c.start, c.end, c.count, c.fI) for c in o_calls]
+
+
+def test_probe_empty_and_tiny_sequences(setup):
+    db, _, eng = setup
+    res = eng.process_batch([("a", ""), ("b", "ACD"), ("c", "A" * K)])
+    for calls, _, _ in res:
+        assert calls == []
+
+
+def test_probe_batch_padding_invariance(setup):
+    db, seqs, eng = setup
+    # The same sequence must produce identical hits regardless of padding.
+    h1 = eng.hits_of_batch([seqs[0]])
+    h2 = eng.hits_of_batch([seqs[0]], pad_to=512)
+    assert [(h.pos, h.fI) for h in h1[0]] == [(h.pos, h.fI) for h in h2[0]]
+
+
+def test_empty_db():
+    db = SignatureDB.from_entries([])
+    eng = TpuEngine(db)
+    res = eng.process_batch([("a", "MKLVINGKTACDEF")])
+    assert res[0][0] == []
+
+
+def test_replay_equals_inline_state_machine(setup):
+    # replay_hits over an oracle-produced hit list reproduces the oracle's
+    # calls exactly (the state machine depends only on the hit sequence).
+    db, seqs, _ = setup
+    params = EngineParams(min_hits=3)
+    for seq in seqs[:10]:
+        o_calls, o_hits, o_otu = oracle_run(db, seq, params)
+        calls, otu = [], O.OtuStats()
+        replay_hits(o_hits, params, calls, otu)
+        otu.finalize()
+        assert [(c.start, c.end, c.count, c.fI) for c in calls] == \
+            [(c.start, c.end, c.count, c.fI) for c in o_calls]
+        assert otu.otus_by_count == o_otu.otus_by_count
