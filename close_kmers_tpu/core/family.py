@@ -1,0 +1,248 @@
+"""Family scoring: per-sequence family score accumulation, best global/local
+family selection, and the all-matches report.
+
+Parity targets in /root/reference:
+
+* on_hit family accumulation — lookup_request.cc:446-469 ==
+  family_mapper.cc:287-316: per hit, weight = 1/N over the kmer's N
+  distinct families; SeqScore counters accumulate in hit order, float32.
+* best-match selection — lookup_request.cc:203-326 (genus filter applied
+  to best-local-family) and family_mapper.cc:65-205 (genus filter
+  disabled, family_mapper.cc:175-176) — toggled via ``genus_filter``.
+* all-matches report — lookup_request.cc:328-399 / family_mapper.cc:207-285.
+
+Determinism note: the reference iterates std::unordered_map when scanning
+seq_score_ and pgf rollups, so float accumulation order and strict-``>``
+tie resolution depend on libstdc++ bucket order.  This implementation
+uses first-insertion order (Python dict order) throughout, which is
+deterministic and matches the reference whenever scores are untied.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..params import EngineParams
+from ..db.family_db import KmerFamilyMapping
+from . import oracle as O
+
+
+@dataclasses.dataclass
+class SeqScore:
+    """sequence_accumulated_score_t (lookup_request.h:26-42)."""
+    hit_count: int = 0
+    hit_total: int = 0
+    weighted_total: np.float32 = np.float32(0.0)
+
+
+def accumulate_family_scores(hits, mapping: KmerFamilyMapping) -> dict[int, SeqScore]:
+    """Family-mode on_hit accumulation over a hit list in position order
+    (lookup_request.cc:446-469).  Returns {family_id: SeqScore} in
+    first-hit order."""
+    seq_score: dict[int, SeqScore] = {}
+    for h in hits:
+        fams = mapping.families_of_kmer(h.code)
+        if not fams:
+            continue
+        weight = np.float32(1.0) / np.float32(len(fams))
+        for fid in fams:
+            s = seq_score.get(fid)
+            if s is None:
+                s = seq_score[fid] = SeqScore()
+            s.hit_count += 1
+            s.hit_total += 1
+            s.weighted_total = np.float32(s.weighted_total + weight)
+    return seq_score
+
+
+def accumulate_peg_scores(hits, mapping: KmerFamilyMapping) -> dict[int, SeqScore]:
+    """Non-family mode: per-peg raw hit counts (lookup_request.cc:470-481);
+    a peg occurs once per (kmer hit, occurrence in peg) pair since
+    add_mapping does not dedup."""
+    seq_score: dict[int, SeqScore] = {}
+    for h in hits:
+        for pid in mapping.pegs_of_kmer(h.code):
+            s = seq_score.get(pid)
+            if s is None:
+                s = seq_score[pid] = SeqScore()
+            s.hit_count += 1
+            s.hit_total += 1
+    return seq_score
+
+
+@dataclasses.dataclass
+class BestMatch:
+    """best_match_t (family_mapper.h:20-28) + the weighted score that the
+    /lookup TSV additionally reports (lookup_request.cc:326)."""
+    gfam_id: str = ""
+    gfam_score: float = 0.0
+    lfam_id: str = ""
+    lfam_score: float = 0.0
+    function: str = ""
+    score: float = 0.0
+    weighted_score: float = 0.0
+
+
+def resolve_best_call_function(best: O.BestCall, allow_ambiguous: bool):
+    """Ambiguity handling shared by /lookup and FamilyMapper
+    (lookup_request.cc:226-247): empty -> "hypothetical protein";
+    "F1 ?? F2" either splits (allow_ambiguous) or degrades to
+    "hypothetical protein".  Returns (function, ambig_function, do_ambig)."""
+    fn = best.function
+    if not fn:
+        return "hypothetical protein", "", False
+    where = fn.find(" ?? ")
+    if where < 0:
+        return fn, "", False
+    if allow_ambiguous:
+        return fn[:where], fn[where + 4:], True
+    return "hypothetical protein", "", False
+
+
+def find_best_family_match(
+    best: O.BestCall,
+    seq_score: dict[int, SeqScore],
+    mapping: KmerFamilyMapping,
+    kmer_hit_threshold: int = 3,
+    allow_ambiguous: bool = False,
+    target_genus_id: int = 0,
+    genus_filter: bool = True,
+) -> BestMatch:
+    """The best-match scan (lookup_request.cc:249-326).
+
+    ``genus_filter=False`` reproduces FamilyMapper's variant where the
+    genus restriction on the best local family is commented out
+    (family_mapper.cc:175-176).
+    """
+    best_fn, ambig_fn, do_ambig = resolve_best_call_function(best, allow_ambiguous)
+
+    lf_score, lf_fam, lf_fn = np.float32(0.0), "", ""
+    pgf_rollup: dict[str, np.float32] = {}
+    pgf_rollup_ambig: dict[str, np.float32] = {}
+
+    for fid, s in seq_score.items():
+        if s.hit_total < kmer_hit_threshold:
+            continue
+        if fid < 0 or fid >= len(mapping.families):
+            continue
+        fd = mapping.families[fid]
+        if do_ambig:
+            if fd.function == best_fn:
+                pgf_rollup[fd.pgf] = np.float32(
+                    pgf_rollup.get(fd.pgf, np.float32(0.0)) + s.weighted_total)
+            elif fd.function == ambig_fn:
+                pgf_rollup_ambig[fd.pgf] = np.float32(
+                    pgf_rollup_ambig.get(fd.pgf, np.float32(0.0)) + s.weighted_total)
+            else:
+                continue
+        else:
+            if fd.function == best_fn:
+                pgf_rollup[fd.pgf] = np.float32(
+                    pgf_rollup.get(fd.pgf, np.float32(0.0)) + s.weighted_total)
+            else:
+                continue
+        if s.weighted_total > lf_score and (not genus_filter
+                                            or fd.genus_id == target_genus_id):
+            lf_score = s.weighted_total
+            lf_fam = fd.plf
+            lf_fn = fd.function
+
+    rollup = pgf_rollup
+    if do_ambig and lf_fn == ambig_fn:
+        rollup = pgf_rollup_ambig
+    gf_score, gf_fam = np.float32(0.0), ""
+    for pgf, score in rollup.items():
+        if score > gf_score:
+            gf_score = score
+            gf_fam = pgf
+
+    return BestMatch(
+        gfam_id=gf_fam, gfam_score=float(gf_score),
+        lfam_id=lf_fam, lfam_score=float(lf_score),
+        function=(lf_fn if do_ambig else best_fn),
+        score=best.score, weighted_score=best.weighted_score)
+
+
+def format_best_match_lookup(seq_id: str, m: BestMatch) -> str:
+    """/lookup best-match TSV row (lookup_request.cc:326)."""
+    return (f"{seq_id}\t{m.gfam_id}\t{O.fmt_float(m.gfam_score)}\t{m.lfam_id}\t"
+            f"{O.fmt_float(m.lfam_score)}\t{m.function}\t{O.fmt_float(m.score)}\t"
+            f"{O.fmt_float(m.weighted_score)}\n")
+
+
+def format_best_match_fq(m: BestMatch) -> str:
+    """best_match_t stream operator (family_mapper.h:70-75)."""
+    return (f"{m.gfam_id}\t{O.fmt_float(m.gfam_score)}\t{m.lfam_id}\t"
+            f"{O.fmt_float(m.lfam_score)}\t{m.function}\t{O.fmt_float(m.score)}")
+
+
+def all_matches_rows(
+    seq_score: dict[int, SeqScore],
+    mapping: KmerFamilyMapping,
+    kmer_hit_threshold: int = 3,
+    family_mode: bool = True,
+    family_reps=None,
+) -> str:
+    """The non-best-match report body (lookup_request.cc:328-399):
+    entries sorted by weighted score descending; iteration BREAKS at the
+    first entry under the hit threshold (lookup_request.cc:348-349)."""
+    vec = sorted(seq_score.items(),
+                 key=lambda kv: -float(kv[1].weighted_total))
+    out = []
+    for eid, s in vec:
+        if s.hit_total < kmer_hit_threshold:
+            break
+        if family_mode:
+            fd = mapping.families[eid]
+            scaled = np.float32(np.float32(s.hit_count) / np.float32(fd.total_size))
+            out.append(f"{s.hit_count}\t{s.hit_total}\t{O.fmt_float(s.weighted_total)}\t"
+                       f"{fd.pgf}\t{fd.plf}\t{fd.total_size}\t{fd.count}\t"
+                       f"{O.fmt_float(scaled)}\t{fd.function}\n")
+            if family_reps is not None:
+                reps = family_reps.reps.get(fd.plf)
+                if reps:
+                    for r in reps:
+                        out.append(f"{r.feature_id}\t{r.contig}\t{r.contig_length}\t"
+                                   f"{r.start}\t{r.end}\t{r.strand}\n")
+                out.append("///\n")
+        else:
+            peg = mapping.decode_peg(eid)
+            fam_id = mapping.peg_to_family.get(eid)
+            if fam_id is not None:
+                fd = mapping.families[fam_id]
+                out.append(f"{peg}\t{s.hit_count}\t{fd.pgf}\t{fd.plf}\t{fd.function}\n")
+            else:
+                out.append(f"{peg}\t{s.hit_count}\n")
+    out.append("//\n")
+    return "".join(out)
+
+
+def annotate_best_match(
+    engine,
+    items: list[tuple[str, str]],
+    mapping: KmerFamilyMapping,
+    function_of,
+    params: EngineParams | None = None,
+    kmer_hit_threshold: int = 3,
+    allow_ambiguous: bool = False,
+    target_genus_id: int = 0,
+    genus_filter: bool = True,
+) -> list[tuple[str, BestMatch]]:
+    """End-to-end /lookup?find_best_match=1 over a batch: probe on device,
+    replay calls, accumulate family scores, pick best families."""
+    params = params or EngineParams()
+    from .engine import replay_hits
+    hit_lists = engine.hits_of_batch([s for _, s in items])
+    results = []
+    for (sid, _seq), hits in zip(items, hit_lists):
+        calls: list[O.Call] = []
+        replay_hits(hits, params, calls, None)
+        best = O.find_best_call(calls, function_of)
+        seq_score = accumulate_family_scores(hits, mapping)
+        m = find_best_family_match(best, seq_score, mapping,
+                                   kmer_hit_threshold, allow_ambiguous,
+                                   target_genus_id, genus_filter)
+        results.append((sid, m))
+    return results

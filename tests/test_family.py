@@ -1,0 +1,191 @@
+"""Family DB + family scoring tests: families.dat parsing, NR preload,
+best global/local family selection, all-matches report."""
+
+import numpy as np
+import pytest
+
+from close_kmers_tpu.params import EngineParams, K
+from close_kmers_tpu.ops import encoder as E
+from close_kmers_tpu.core import oracle as O, family as F
+from close_kmers_tpu.core.engine import TpuEngine, replay_hits
+from close_kmers_tpu.db.signature_db import SignatureDB
+from close_kmers_tpu.db.family_db import KmerFamilyMapping, FamilyReps
+
+
+@pytest.fixture(scope="module")
+def universe(tmp_path_factory):
+    """A tiny PATRIC-like universe: 3 functions, 4 local families across 2
+    genera, one reference protein per family."""
+    rng = np.random.default_rng(7)
+    tmp = tmp_path_factory.mktemp("fam")
+    funcs = ["DNA gyrase subunit B", "Acetate kinase", "hypothetical protein"]
+    # (peg, function_index, genus, local-fam-number)
+    fam_spec = [
+        ("fig|100.1.peg.1", 0, "Leptospira", "1"),
+        ("fig|100.1.peg.2", 0, "Bacillus", "2"),
+        ("fig|100.1.peg.3", 1, "Leptospira", "3"),
+        ("fig|100.1.peg.4", 2, "Bacillus", "4"),
+    ]
+    prots = {}
+    for peg, fi, genus, lf in fam_spec:
+        prots[peg] = "".join(rng.choice(list(E.PROT_ALPHA), size=90))
+
+    genus_file = tmp / "genus.map"
+    genus_file.write_text("Leptospira\t171\nBacillus\t1386\n")
+
+    fam_file = tmp / "families.dat"
+    with open(fam_file, "w") as f:
+        for i, (peg, fi, genus, lf) in enumerate(fam_spec):
+            f.write(f"GF0000000{i}\t1\t1\t{peg}\t{len(prots[peg])}\t"
+                    f"{funcs[fi]}\t{lf}\t{genus}\t{lf}\n")
+
+    nr_file = tmp / "families.nr"
+    with open(nr_file, "w") as f:
+        for peg, fi, genus, lf in fam_spec:
+            f.write(f">{peg}\n{prots[peg]}\n")
+
+    # Signature DB: all kmers of each protein under its function.
+    seen = {}
+    for peg, fi, genus, lf in fam_spec:
+        p = prots[peg]
+        for i in range(len(p) - K + 1):
+            seen.setdefault(p[i:i + K], (p[i:i + K], 10, fi, 1.0, -1))
+    db = SignatureDB.from_entries(seen.values(), functions=funcs)
+
+    eng = TpuEngine(db)
+    mapping = KmerFamilyMapping()
+    mapping.load_genus_map(str(genus_file))
+    mapping.load_families(str(fam_file))
+    n = mapping.load_nr(str(nr_file), eng)
+    assert n == 4
+    return dict(db=db, eng=eng, mapping=mapping, prots=prots,
+                fam_spec=fam_spec, funcs=funcs, tmp=tmp)
+
+
+def test_load_families_metadata(universe):
+    m = universe["mapping"]
+    assert len(m.families) == 4
+    fd = m.families[0]
+    assert fd.pgf == "PGF_00000000"
+    assert fd.plf == "PLF_171_00000001"
+    assert fd.genus_id == 171
+    assert fd.function == "DNA gyrase subunit B"
+    assert fd.total_size == 90 and fd.count == 1
+    fd2 = m.families[1]
+    assert fd2.plf == "PLF_1386_00000002" and fd2.genus_id == 1386
+
+
+def test_unmapped_genus_fallback(universe, tmp_path):
+    m = KmerFamilyMapping()
+    fam_file = tmp_path / "f.dat"
+    fam_file.write_text("GF00000009\t1\t1\tfig|1.1.peg.1\t50\tfn\t7\tUnknownia\t7\n")
+    m.load_families(str(fam_file))
+    assert m.families[0].plf == "PLF_Unknownia_00000007"
+    assert m.families[0].genus_id == 0
+
+
+def test_kmer_family_map_dedup(universe):
+    m = universe["mapping"]
+    keys, offs, vals = m.fam_csr()
+    assert len(keys) > 100
+    # per-kmer family lists are deduped (kmer.cc:216-230)
+    for i in range(len(keys)):
+        fams = vals[offs[i]:offs[i + 1]].tolist()
+        assert len(set(fams)) == len(fams)
+
+
+def test_best_match_exact_protein(universe):
+    eng, m, prots = universe["eng"], universe["mapping"], universe["prots"]
+    db = universe["db"]
+    peg, fi, genus, lf = universe["fam_spec"][0]
+    res = F.annotate_best_match(eng, [(peg, prots[peg])], m, db.function_of,
+                                genus_filter=False)
+    sid, bm = res[0]
+    assert sid == peg
+    assert bm.gfam_id == "PGF_00000000"
+    assert bm.lfam_id == "PLF_171_00000001"
+    assert bm.function == "DNA gyrase subunit B"
+    assert bm.score > 5
+    assert bm.gfam_score > 0 and bm.lfam_score > 0
+
+
+def test_best_match_genus_filter(universe):
+    """With the /lookup genus filter active, the local family must match
+    the target genus (lookup_request.cc:300)."""
+    eng, m, prots, db = (universe["eng"], universe["mapping"],
+                         universe["prots"], universe["db"])
+    peg = universe["fam_spec"][0][0]
+    res = F.annotate_best_match(eng, [(peg, prots[peg])], m, db.function_of,
+                                genus_filter=True, target_genus_id=171)
+    assert res[0][1].lfam_id == "PLF_171_00000001"
+    res = F.annotate_best_match(eng, [(peg, prots[peg])], m, db.function_of,
+                                genus_filter=True, target_genus_id=1386)
+    # No local family of genus 1386 carries this function's kmers.
+    assert res[0][1].lfam_id == ""
+    # The global family result is unaffected by the genus filter.
+    assert res[0][1].gfam_id == "PGF_00000000"
+
+
+def test_no_call_gives_hypothetical(universe):
+    eng, m, db = universe["eng"], universe["mapping"], universe["db"]
+    res = F.annotate_best_match(eng, [("q", "MKKKKKKKKLVVVVV")], m,
+                                db.function_of, genus_filter=False)
+    bm = res[0][1]
+    assert bm.function == "hypothetical protein"
+    assert bm.gfam_id == "" and bm.score == 0.0
+
+
+def test_all_matches_rows(universe):
+    eng, m, prots, db = (universe["eng"], universe["mapping"],
+                         universe["prots"], universe["db"])
+    peg = universe["fam_spec"][0][0]
+    hits = eng.hits_of_batch([prots[peg]])[0]
+    seq_score = F.accumulate_family_scores(hits, m)
+    body = F.all_matches_rows(seq_score, m, kmer_hit_threshold=3)
+    lines = body.strip().split("\n")
+    assert lines[-1] == "//"
+    first = lines[0].split("\t")
+    # hit_count, hit_total, weighted, pgf, plf, total_size, count, scaled, fn
+    assert first[3] == "PGF_00000000"
+    assert first[4] == "PLF_171_00000001"
+    assert first[8] == "DNA gyrase subunit B"
+    assert int(first[0]) == int(first[1]) >= 3
+
+
+def test_weight_is_one_over_n_families(universe):
+    """A kmer shared by two families contributes 1/2 to each."""
+    m = KmerFamilyMapping()
+    m.families = universe["mapping"].families
+    code = 12345
+    m.add_fam_mapping(0, code)
+    m.add_fam_mapping(1, code)
+    m.add_fam_mapping(0, code)  # dup ignored
+    h = O.Hit(oI=-1, pos=0, avg_off=0, fI=0, wt=1.0, code=code)
+    ss = F.accumulate_family_scores([h, h], m)
+    assert ss[0].hit_count == 2
+    assert np.float32(ss[0].weighted_total) == np.float32(1.0)
+    assert np.float32(ss[1].weighted_total) == np.float32(1.0)
+
+
+def test_ambiguous_function_split():
+    bc = O.BestCall(-1, "fnB ?? fnA", 8.0, 8.0, 2.0)
+    fn, ambig, do = F.resolve_best_call_function(bc, True)
+    assert (fn, ambig, do) == ("fnB", "fnA", True)
+    fn, ambig, do = F.resolve_best_call_function(bc, False)
+    assert (fn, do) == ("hypothetical protein", False)
+    fn, _, _ = F.resolve_best_call_function(O.BestCall(-1, "", 0, 0, 0), False)
+    assert fn == "hypothetical protein"
+
+
+def test_family_reps(tmp_path):
+    reps_file = tmp_path / "reps.tsv"
+    reps_file.write_text(
+        "h0\th1\th2\th3\th4\th5\th6\th7\th8\th9\n"
+        "x\tx\tfig|1.2.peg.3\tPLF_171_00000001\tx\tcontig7\t100\t400\t+\t5000\n"
+        "short\tline\n")
+    fr = FamilyReps()
+    fr.load_reps_file(str(reps_file))
+    assert list(fr.reps) == ["PLF_171_00000001"]
+    r = fr.reps["PLF_171_00000001"][0]
+    assert (r.feature_id, r.contig, r.start, r.end, r.strand, r.contig_length) == \
+        ("fig|1.2.peg.3", "contig7", 100, 400, "+", 5000)
