@@ -1,0 +1,163 @@
+"""Benchmark: proteins/s through the full annotation pipeline on one chip.
+
+Workload (BASELINE.json config 2 analogue): a synthetic signature DB built
+from source proteins, then batch annotation of query proteins — device
+window-encode + two-level probe, native C++ run/gap scoring + best-call
+reduction.  Baseline = the same pipeline on one CPU core through the
+native single-core engine (ck_pipeline_batch), standing in for the
+reference's one-thread-per-request design (threadpool.cc:18-45; the
+reference itself needs boost/TBB not present in this image).
+
+Prints exactly ONE JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_SRC = int(os.environ.get("BENCH_N_SRC", 70_000))     # source proteins
+PROT_LEN = int(os.environ.get("BENCH_PROT_LEN", 300))
+N_QUERY = int(os.environ.get("BENCH_N_QUERY", 32_768))
+BATCH = int(os.environ.get("BENCH_BATCH", 8192))
+N_CPU = int(os.environ.get("BENCH_N_CPU", 512))        # baseline sample
+N_FUNCS = 4096
+CACHE = os.environ.get(
+    "BENCH_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_corpus(rng):
+    from close_kmers_tpu.db.signature_db import SignatureDB
+
+    os.makedirs(CACHE, exist_ok=True)
+    tag = f"{N_SRC}x{PROT_LEN}"
+    cache_file = os.path.join(CACHE, f"corpus_{tag}.npz")
+    t0 = time.time()
+    if os.path.exists(cache_file):
+        z = np.load(cache_file)
+        keys, fi, off = z["keys"], z["fi"], z["off"]
+        log(f"corpus loaded from cache in {time.time()-t0:.1f}s")
+    else:
+        off = rng.integers(0, 20, size=(N_SRC, PROT_LEN), dtype=np.int64
+                           ).astype(np.uint8)
+        W = PROT_LEN - 8 + 1
+        o32 = off.astype(np.int32)
+        hi = np.zeros((N_SRC, W), dtype=np.int32)
+        lo = np.zeros((N_SRC, W), dtype=np.int32)
+        for j in range(4):
+            hi = hi * 20 + o32[:, j:j + W]
+            lo = lo * 20 + o32[:, 4 + j:4 + j + W]
+        keys = (hi.astype(np.int64) * 160000 + lo).ravel()
+        fi = np.repeat(np.arange(N_SRC, dtype=np.int64) % N_FUNCS, W)
+        keys, idx = np.unique(keys, return_index=True)
+        fi = fi[idx].astype(np.int32)
+        np.savez(cache_file, keys=keys, fi=fi, off=off)
+        log(f"corpus built in {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    db = SignatureDB(
+        keys, fi,
+        rng.integers(-1, 64, size=len(keys)).astype(np.int32),
+        rng.integers(0, PROT_LEN, size=len(keys)).astype(np.int32),
+        rng.uniform(0.1, 4.0, size=len(keys)).astype(np.float32),
+    )
+    log(f"DB: {len(db):,} kmers, max bucket {db.max_bucket}, "
+        f"indexed in {time.time()-t0:.1f}s")
+
+    # queries: slices of source proteins (dense-hit regime)
+    qi = rng.integers(0, N_SRC, size=N_QUERY)
+    offsets = np.full((N_QUERY, PROT_LEN + 8), 20, dtype=np.uint8)
+    offsets[:, :PROT_LEN] = off[qi]
+    lengths = np.full(N_QUERY, PROT_LEN, dtype=np.int32)
+    return db, offsets, lengths
+
+
+def bench_tpu(db, offsets, lengths):
+    """Fused device probe+score (compact CALL download) + native C++
+    best-call reduction, with dispatch/readback pipelining."""
+    from close_kmers_tpu.core.device_score import DeviceScorer
+    from close_kmers_tpu.native import api as native
+    from close_kmers_tpu.params import EngineParams
+
+    ds = DeviceScorer(db)
+    params = EngineParams()
+
+    def host_side(out_np, B, cap):
+        dense = DeviceScorer.unpack_dense(out_np, B, cap)
+        assert dense is not None, "call cap overflow"
+        n_calls, cs, ce, cc, cf, cw = dense
+        nf, ofi, ocnt, owt = native.best_call_batch(n_calls, cs, ce, cc, cf, cw)
+        return int(n_calls.sum())
+
+    # warmup/compile
+    t0 = time.time()
+    out, cap = ds.score_batch_packed(offsets[:BATCH], lengths[:BATCH], params)
+    host_side(np.asarray(out), BATCH, cap)
+    log(f"warmup+compile {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    total_calls = n_done = 0
+    pending = None  # (device_out, B, cap)
+    for a in range(0, N_QUERY, BATCH):
+        b = min(a + BATCH, N_QUERY)
+        if b - a < BATCH:
+            break
+        out, cap = ds.score_batch_packed(offsets[a:b], lengths[a:b], params)
+        if pending is not None:
+            total_calls += host_side(np.asarray(pending[0]), pending[1],
+                                     pending[2])
+            n_done += pending[1]
+        pending = (out, b - a, cap)
+    if pending is not None:
+        total_calls += host_side(np.asarray(pending[0]), pending[1], pending[2])
+        n_done += pending[1]
+    dt = time.time() - t0
+    log(f"TPU path: {n_done} proteins in {dt:.2f}s, {total_calls} calls")
+    return n_done / dt
+
+
+def bench_cpu(db, offsets, lengths):
+    from close_kmers_tpu.native import api as native
+
+    t0 = time.time()
+    n_calls = native.pipeline_batch(db, offsets[:N_CPU], lengths[:N_CPU])
+    dt = time.time() - t0
+    log(f"CPU single-core: {N_CPU} proteins in {dt:.2f}s "
+        f"({int(n_calls.sum())} calls)")
+    return N_CPU / dt
+
+
+def main():
+    import jax
+    cache_dir = os.path.join(CACHE, "jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        log("compile cache unavailable:", e)
+    rng = np.random.default_rng(0)
+    db, offsets, lengths = build_corpus(rng)
+    cpu_rate = bench_cpu(db, offsets, lengths)
+    tpu_rate = bench_tpu(db, offsets, lengths)
+    print(json.dumps({
+        "metric": "proteins_per_s_per_chip",
+        "value": round(tpu_rate, 1),
+        "unit": "proteins/s",
+        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,284 @@
+"""On-device scoring: the gather_hits run/gap/two-hit state machine as a
+batched lax.scan, fused with the probe.
+
+The reference's hot loop (kguts.cc:783-877) is sequential per sequence but
+embarrassingly parallel across sequences — ideal for a TPU scan whose
+carry is a vector of per-sequence states.  Each scan step consumes one
+window position for the whole batch and updates 13 [B]-shaped state
+fields with masked selects.
+
+Why this exists: through the serving tunnel, device→host transfers cost
+~30-60 ms latency + limited bandwidth, so shipping raw [B, W] probe
+results to host scoring dominates end-to-end time.  This kernel keeps
+everything on device and emits only the compacted per-sequence CALL list
+(typically ~1-2 calls/sequence) packed into a single int32 buffer.
+
+Exactness: integer fields match the oracle exactly; weighted sums are
+float32 additions in the same order the reference performs them
+(process_set_of_hits re-sums the buffer in arrival order — incremental
+accumulation in arrival order is the same sequence of f32 adds).  The
+run-reseed quirk (kguts.cc:772-777), gap flush (821-831), order
+constraint with its unsigned-wrap drift test (838-842), and the
+two-in-a-row flush (852-856) are all replicated.  One structural lemma
+makes the scan emission simple: at most ONE call can be emitted per
+position (a gap flush and a two-in-a-row flush cannot both emit in the
+same step, because a post-flush buffer is either empty or reseeded with
+the new hit's own function).
+
+The hit-buffer cap (kguts.cc:850-851) is not modeled; callers must keep
+the padded width below HIT_BUFFER_CAP (39998), which every practical
+batch satisfies.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import HIT_BUFFER_CAP, K, EngineParams
+from .engine import DeviceDB, encode_windows, probe_windows
+
+
+def _scan_score(found, h_fi, h_av, h_wt, min_hits, min_weighted_hits,
+                max_gap, order_constraint):
+    """found/h_fi/h_av/h_wt: [B, W].  Returns per-position call emissions
+    ([B, W+1] fields; the final column is the end-of-sequence flush) and
+    per-sequence call counts."""
+    B, W = found.shape
+    if W >= HIT_BUFFER_CAP:
+        raise ValueError("padded width exceeds the reference hit-buffer cap")
+
+    i32 = jnp.int32
+    f32 = jnp.float32
+    zero = jnp.zeros((B,), i32)
+    zf = jnp.zeros((B,), f32)
+
+    init = dict(
+        num_hits=zero, current=zero, first_pos=zero,
+        prev_fi=zero, prev_pos=zero, prev_av=zero, prev_wt=zf,
+        prev2_fi=zero, prev2_pos=zero, prev2_wt=zf,
+        cnt=zero, wsum=zf, last_match=zero,
+    )
+
+    def flush_fields(s):
+        """Emission test + call fields for process_set_of_hits
+        (kguts.cc:752-755)."""
+        emit = ((s["num_hits"] > 0) & (s["cnt"] >= min_hits)
+                & (s["wsum"] >= jnp.float32(min_weighted_hits)))
+        call = (s["first_pos"], s["last_match"] + (K - 1), s["cnt"],
+                s["current"], s["wsum"])
+        return emit, call
+
+    def apply_flush(s, fire):
+        """State transition of process_set_of_hits where ``fire``:
+        reseed from the last two buffered hits or clear (kguts.cc:772-780)."""
+        reseed = (fire & (s["num_hits"] >= 2)
+                  & (s["prev2_fi"] != s["current"])
+                  & (s["prev2_fi"] == s["prev_fi"]))
+        clear = fire & ~reseed
+        return dict(
+            s,
+            current=jnp.where(reseed, s["prev_fi"], s["current"]),
+            num_hits=jnp.where(reseed, 2, jnp.where(clear, 0, s["num_hits"])),
+            cnt=jnp.where(reseed, 2, jnp.where(clear, 0, s["cnt"])),
+            wsum=jnp.where(reseed, s["prev2_wt"] + s["prev_wt"],
+                           jnp.where(clear, zf, s["wsum"])),
+            first_pos=jnp.where(reseed, s["prev2_pos"], s["first_pos"]),
+            last_match=jnp.where(reseed, s["prev_pos"], s["last_match"]),
+        )
+
+    def step(s, x):
+        h, fi, av, wt, pos = x
+        posb = jnp.full((B,), pos, i32)
+
+        # --- gap handling (kguts.cc:821-831)
+        gap = h & (s["num_hits"] > 0) & (s["prev_pos"] + max_gap < posb)
+        gf_flush = gap & (s["num_hits"] >= min_hits)
+        gf_reset = gap & ~gf_flush
+        emitA, callA = flush_fields(s)
+        emitA = emitA & gf_flush
+        s = apply_flush(s, gf_flush)
+        s = dict(s,
+                 num_hits=jnp.where(gf_reset, 0, s["num_hits"]),
+                 cnt=jnp.where(gf_reset, 0, s["cnt"]),
+                 wsum=jnp.where(gf_reset, zf, s["wsum"]))
+
+        # --- current_fI seeding (kguts.cc:833-836)
+        was0 = s["num_hits"] == 0
+        cur = jnp.where(h & was0, fi, s["current"])
+
+        # --- admission (kguts.cc:838-842): unsigned-wrap drift in [0, 20]
+        if order_constraint:
+            drift = (posb - s["prev_pos"]) - (s["prev_av"] - av)
+            admit = h & (was0 | ((fi == s["prev_fi"])
+                                 & (drift >= 0) & (drift <= 20)))
+        else:
+            admit = h
+
+        # --- append (kguts.cc:844-851)
+        match = fi == cur
+        nh1 = s["num_hits"] + 1
+        appended = dict(
+            s,
+            current=cur,
+            num_hits=jnp.where(admit, nh1, s["num_hits"]),
+            first_pos=jnp.where(admit & was0, posb, s["first_pos"]),
+            cnt=jnp.where(admit & match, s["cnt"] + 1, s["cnt"]),
+            wsum=jnp.where(admit & match, s["wsum"] + wt, s["wsum"]),
+            last_match=jnp.where(admit & match, posb, s["last_match"]),
+            prev2_fi=jnp.where(admit, s["prev_fi"], s["prev2_fi"]),
+            prev2_pos=jnp.where(admit, s["prev_pos"], s["prev2_pos"]),
+            prev2_wt=jnp.where(admit, s["prev_wt"], s["prev2_wt"]),
+            prev_fi=jnp.where(admit, fi, s["prev_fi"]),
+            prev_pos=jnp.where(admit, posb, s["prev_pos"]),
+            prev_av=jnp.where(admit, av, s["prev_av"]),
+            prev_wt=jnp.where(admit, wt, s["prev_wt"]),
+        )
+        s = dict(appended, current=jnp.where(h, cur, s["current"]))
+
+        # --- two-in-a-row flush (kguts.cc:852-856)
+        tir = (admit & (s["num_hits"] > 1) & (cur != fi)
+               & (s["prev2_fi"] == fi))
+        emitB, callB = flush_fields(s)
+        emitB = emitB & tir
+        s = apply_flush(s, tir)
+
+        emit = emitA | emitB
+        call = tuple(jnp.where(emitA, a, b) for a, b in zip(callA, callB))
+        y = (emit,) + call
+        return s, y
+
+    pos_seq = jnp.arange(W, dtype=i32)
+    xs = (found.T, h_fi.T, h_av.T, h_wt.T, pos_seq)
+    state, ys = jax.lax.scan(step, init, xs)
+
+    # end-of-sequence flush (kguts.cc:873-875)
+    emitF, callF = flush_fields(state)
+    emitF = emitF & (state["num_hits"] >= min_hits)
+
+    emit = jnp.concatenate([ys[0].T, emitF[:, None]], axis=1)     # [B, W+1]
+    fields = [jnp.concatenate([y.T, c[:, None]], axis=1)
+              for y, c in zip(ys[1:], callF)]
+    return emit, fields
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_hits", "min_weighted_hits", "max_gap",
+                     "order_constraint", "call_cap"))
+def _probe_score_jit(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
+                     n, n_steps, offsets, lengths,
+                     min_hits, min_weighted_hits, max_gap, order_constraint,
+                     call_cap):
+    ddb = DeviceDB(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
+                   n_steps, n)
+    hi, lo, valid = encode_windows(offsets, lengths)
+    found, p_fi, p_oi, p_av, p_wt = probe_windows(ddb, hi, lo, valid)
+    emit, (c_start, c_end, c_cnt, c_fi, c_wt) = _scan_score(
+        found, p_fi, p_av, p_wt, min_hits, min_weighted_hits, max_gap,
+        order_constraint)
+
+    B, W1 = emit.shape
+    n_calls = emit.sum(axis=1, dtype=jnp.int32)
+
+    # Compact: stable argsort on ~emit keeps row-major (= per-sequence,
+    # position-ordered) order among the emitted calls.
+    flat_emit = emit.reshape(-1)
+    order = jnp.argsort(~flat_emit, stable=True)[:call_cap]
+    pack = jnp.stack([
+        c_start.reshape(-1)[order].astype(jnp.int32),
+        c_end.reshape(-1)[order].astype(jnp.int32),
+        c_cnt.reshape(-1)[order].astype(jnp.int32),
+        c_fi.reshape(-1)[order].astype(jnp.int32),
+        jax.lax.bitcast_convert_type(c_wt.reshape(-1)[order], jnp.int32),
+    ])  # [5, call_cap]
+    # single packed buffer: [B] n_calls ++ [5*call_cap] call fields
+    out = jnp.concatenate([n_calls, pack.reshape(-1)])
+    n_hits_total = found.sum(dtype=jnp.int32)
+    return out, n_hits_total
+
+
+class DeviceScorer:
+    """Fused probe+score engine: uploads a padded batch, downloads only the
+    packed compact call lists."""
+
+    def __init__(self, db, device=None):
+        self.db = db
+        self.ddb = DeviceDB.from_db(db, device=device)
+
+    def score_batch(self, offsets: np.ndarray, lengths: np.ndarray,
+                    params: EngineParams | None = None,
+                    calls_per_seq_cap: int = 4):
+        """Returns (n_calls[B], calls) where calls is a list of per-seq
+        lists of (start, end, count, fi, weighted_f32).  If the emitted
+        call count exceeds the cap, the overflowing tail is absent —
+        callers should retry with a bigger cap (n_calls reports the true
+        totals)."""
+        params = params or EngineParams()
+        d = self.ddb
+        B = offsets.shape[0]
+        cap = B * calls_per_seq_cap
+        out, _ = _probe_score_jit(
+            d.bucket_start, d.lo, d.fi, d.oi, d.avg_off, d.wt, d.n,
+            d.n_steps, jnp.asarray(offsets), jnp.asarray(lengths),
+            params.min_hits, params.min_weighted_hits, params.max_gap,
+            params.order_constraint, cap)
+        out = np.asarray(out)
+        n_calls = out[:B]
+        pack = out[B:].reshape(5, cap)
+        starts, ends, cnts, fis = pack[0], pack[1], pack[2], pack[3]
+        wts = pack[4].view(np.float32)
+        total = int(n_calls.sum())
+        if total > cap:
+            return self.score_batch(offsets, lengths, params,
+                                    calls_per_seq_cap * 4)
+        calls = []
+        k = 0
+        for b in range(B):
+            calls.append([(int(starts[k + i]), int(ends[k + i]),
+                           int(cnts[k + i]), int(fis[k + i]),
+                           np.float32(wts[k + i]))
+                          for i in range(int(n_calls[b]))])
+            k += int(n_calls[b])
+        return n_calls, calls
+
+    @staticmethod
+    def unpack_dense(out: np.ndarray, B: int, cap: int):
+        """Packed device buffer -> (n_calls[B], dense [B, maxc] call arrays
+        (start, end, count, fi, wt)) for native best-call reduction.
+        Returns None if the cap overflowed (caller retries bigger)."""
+        n_calls = out[:B]
+        total = int(n_calls.sum())
+        if total > cap:
+            return None
+        pack = out[B:].reshape(5, cap)
+        maxc = max(1, int(n_calls.max()) if B else 1)
+        rows = np.repeat(np.arange(B), n_calls)
+        row_off = np.zeros(B + 1, dtype=np.int64)
+        np.cumsum(n_calls, out=row_off[1:])
+        cols = np.arange(total) - row_off[rows]
+        dense = []
+        for j in range(5):
+            d = np.zeros((B, maxc), dtype=np.int32)
+            d[rows, cols] = pack[j, :total]
+            dense.append(d)
+        cs, ce, cc, cf, cw_bits = dense
+        return n_calls, cs, ce, cc, cf, cw_bits.view(np.float32)
+
+    def score_batch_packed(self, offsets, lengths,
+                           params: EngineParams | None = None,
+                           calls_per_seq_cap: int = 4):
+        """Async-friendly variant: returns the device array (not yet
+        transferred) so callers can pipeline dispatch and readback."""
+        params = params or EngineParams()
+        d = self.ddb
+        cap = offsets.shape[0] * calls_per_seq_cap
+        out, _ = _probe_score_jit(
+            d.bucket_start, d.lo, d.fi, d.oi, d.avg_off, d.wt, d.n,
+            d.n_steps, jnp.asarray(offsets), jnp.asarray(lengths),
+            params.min_hits, params.min_weighted_hits, params.max_gap,
+            params.order_constraint, cap)
+        return out, cap

@@ -119,20 +119,25 @@ def probe_windows(ddb: DeviceDB, hi, lo, valid):
     right = ddb.bucket_start[hi_c + 1]
     end = right
     # Branchless lower_bound: after n_steps halvings left==right==insertion
-    # point of lo_c in ddb.lo[left:end).
-    for _ in range(ddb.n_steps):
+    # point of lo_c in ddb.lo[left:end).  fori_loop keeps the HLO small
+    # (compile time matters through the remote-compile tunnel).
+    def search_step(_, lr):
+        left, right = lr
         cont = left < right
         mid = (left + right) >> 1
         v = ddb.lo[jnp.minimum(mid, ddb.n)]
         go_right = cont & (v < lo_c)
-        left = jnp.where(go_right, mid + 1, left)
-        right = jnp.where(cont & ~go_right, mid, right)
+        return (jnp.where(go_right, mid + 1, left),
+                jnp.where(cont & ~go_right, mid, right))
+
+    left, right = jax.lax.fori_loop(0, ddb.n_steps, search_step,
+                                    (left, right), unroll=False)
     idx = jnp.minimum(left, ddb.n)
     found = valid & (left < end) & (ddb.lo[idx] == lo_c)
     return (found, ddb.fi[idx], ddb.oi[idx], ddb.avg_off[idx], ddb.wt[idx])
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps",))
+@jax.jit
 def _probe_batch_jit(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
                      n, n_steps, offsets, lengths):
     ddb = DeviceDB(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
@@ -214,6 +219,123 @@ class TpuEngine:
                 otu.finalize()
             results.append((calls, hits if want_hits else None, otu))
         return results
+
+
+class FastAnnotator:
+    """High-throughput path: device probe + native C++ scoring.
+
+    Produces the same calls/best-calls as the oracle (the C++ scorer is a
+    port of the same state machine; see native/ckmers.cpp), but keeps all
+    per-hit work vectorized or native — no per-hit Python.
+    """
+
+    def __init__(self, db: SignatureDB, device=None):
+        self.db = db
+        self.ddb = DeviceDB.from_db(db, device=device)
+
+    def pad_batch(self, seqs: list[str], pad_to: int | None = None):
+        B = len(seqs)
+        L = max(pad_to or 0, max((len(s) for s in seqs), default=0) + 1, K + 2)
+        L = 1 << (L - 1).bit_length()
+        offsets = np.full((B, L), 20, dtype=np.uint8)
+        lengths = np.zeros(B, dtype=np.int32)
+        for i, s in enumerate(seqs):
+            o = seq_to_offsets(s)
+            offsets[i, :len(o)] = o
+            lengths[i] = len(o)
+        return offsets, lengths
+
+    def probe_compact(self, offsets: np.ndarray, lengths: np.ndarray):
+        """Device probe + vectorized host compaction.  Returns a dict of
+        concatenated per-sequence hit arrays (pos, fi, oi, avg_off, wt,
+        code) plus row_off delimiters."""
+        d = self.ddb
+        found, fi, oi, avg_off, wt, hi, lo = _probe_batch_full_jit(
+            d.bucket_start, d.lo, d.fi, d.oi, d.avg_off, d.wt, d.n, d.n_steps,
+            jnp.asarray(offsets), jnp.asarray(lengths))
+        found = np.asarray(found)
+        rows, cols = np.nonzero(found)
+        row_off = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(np.bincount(rows, minlength=len(lengths)), out=row_off[1:])
+        code = (np.asarray(hi)[rows, cols].astype(np.int64) * 160000
+                + np.asarray(lo)[rows, cols].astype(np.int64))
+        return dict(
+            pos=cols.astype(np.int32),
+            fi=np.asarray(fi)[rows, cols],
+            oi=np.asarray(oi)[rows, cols],
+            avg_off=np.asarray(avg_off)[rows, cols],
+            wt=np.asarray(wt)[rows, cols],
+            code=code,
+            row_off=row_off,
+        )
+
+    def annotate(self, seqs: list[str], params: EngineParams | None = None,
+                 max_calls_per_seq: int = 512, want_votes: bool = False):
+        """probe + native scoring.  Returns (hits dict, n_calls, call
+        arrays (start, end, count, fi, wt), votes)."""
+        from ..native import api as native
+        params = params or EngineParams()
+        offsets, lengths = self.pad_batch(seqs)
+        h = self.probe_compact(offsets, lengths)
+        n_calls, cs, ce, cc, cf, cw, votes = native.score_batch(
+            h["pos"], h["fi"], h["oi"], h["avg_off"], h["wt"], h["row_off"],
+            params, max_calls_per_seq, want_votes)
+        return h, n_calls, (cs, ce, cc, cf, cw), votes
+
+    def best_calls(self, seqs: list[str], function_of,
+                   params: EngineParams | None = None):
+        """Batch find_best_call: returns list of oracle.BestCall."""
+        from ..native import api as native
+        h, n_calls, (cs, ce, cc, cf, cw), _ = self.annotate(seqs, params)
+        nf, ofi, ocnt, owt = native.best_call_batch(n_calls, cs, ce, cc, cf, cw)
+        return [finish_best_call(int(nf[s]), ofi[s], ocnt[s], owt[s],
+                                 function_of) for s in range(len(seqs))]
+
+
+def finish_best_call(n_funcs: int, fi3, cnt3, wt3, function_of) -> O.BestCall:
+    """Final decision step of find_best_call (kguts.cc:1149-1198) applied
+    to the native top-3 reduction output."""
+    result = O.BestCall(-1, "", 0.0, 0.0, 0.0)
+    if n_funcs == 0:
+        return result
+    if n_funcs == 1:
+        score_offset = float(cnt3[0])
+    else:
+        score_offset = float(cnt3[0] - cnt3[1])
+    result.score_offset = score_offset
+    if score_offset >= 5.0:
+        result.function_index = int(fi3[0])
+        result.function = function_of(int(fi3[0]))
+        result.score = float(cnt3[0])
+        result.weighted_score = float(wt3[0])
+    elif n_funcs >= 2:
+        f1 = function_of(int(fi3[0]))
+        f2 = function_of(int(fi3[1]))
+        if f2 > f1:
+            f1, f2 = f2, f1
+        if n_funcs == 2:
+            result.function = f"{f1} ?? {f2}"
+            result.score = float(cnt3[0])
+        else:
+            pair_offset = float(cnt3[1] - cnt3[2])
+            if pair_offset > 5.0:
+                result.function = f"{f1} ?? {f2}"
+                result.score = float(cnt3[0])
+                result.score_offset = pair_offset
+                result.weighted_score = float(wt3[0])
+    return result
+
+
+@jax.jit
+def _probe_batch_full_jit(bucket_start, lo_arr, fi_arr, oi_arr, off_arr,
+                          wt_arr, n, n_steps, offsets, lengths):
+    """Like _probe_batch_jit but also returns the window hi/lo codes for
+    host-side code reconstruction."""
+    ddb = DeviceDB(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
+                   n_steps, n)
+    hi, lo, valid = encode_windows(offsets, lengths)
+    found, fi, oi, avg_off, wt = probe_windows(ddb, hi, lo, valid)
+    return found, fi, oi, avg_off, wt, hi, lo
 
 
 def replay_hits(hits, params: EngineParams, calls, otu) -> None:

@@ -54,10 +54,13 @@ class SignatureDB:
                  functions: list[str] | None = None,
                  otus: list[str] | None = None):
         keys = np.asarray(keys, dtype=np.int64)
-        order = np.argsort(keys, kind="stable")
-        keys = keys[order]
-        if len(keys) and (np.diff(keys) == 0).any():
-            raise ValueError("duplicate kmer keys in signature DB")
+        if len(keys) == 0 or (np.diff(keys) > 0).all():
+            order = slice(None)  # already strictly sorted (fast path)
+        else:
+            order = np.argsort(keys, kind="stable")
+            keys = keys[order]
+            if (np.diff(keys) == 0).any():
+                raise ValueError("duplicate kmer keys in signature DB")
         self.keys = keys
         self.fi = np.asarray(fi, dtype=np.int32)[order]
         self.oi = np.asarray(oi, dtype=np.int32)[order]
