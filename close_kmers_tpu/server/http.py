@@ -1,0 +1,550 @@
+"""The kser network server: pidgin-HTTP over asyncio.
+
+Protocol parity with KmerRequestServer/KmerRequest2
+(/root/reference/kserver.cc, krequest2.cc):
+
+* request line regex ``^([A-Z]+) ([^?#]*)(\\?([^#]*))?(#(.*))? HTTP/(\\d+\\.\\d+)``
+  (krequest2.cc:25); query params split on ``;`` or ``&`` (krequest2.cc:115);
+* headers lowercased; ``Expect: 100-continue`` honored (krequest2.cc:262-270);
+* responses use bare ``\\n`` line endings, ``Content-type: text/plain``,
+  and Content-length only on the simple GET responses (krequest2.cc:492-503);
+  POST streams close the socket at end like the reference handlers;
+* GET routes: /quit /version /genus_lookup/<g> /dump_mapping /dump_sizes
+  (krequest2.cc:273-412);
+* POST routes: /add /matrix /lookup /fq_lookup /query plus keyed
+  ``/mapping/<key>/(add|matrix|lookup)`` universes created on demand
+  (krequest2.cc:414-489).
+
+Engine parameters are overridable per request via query params
+(?min_hits=3&max_gap=100 — kguts.cc:244-268) and handler options mirror
+the reference (kmer_hit_threhsold [sic], find_best_match, find_reps,
+allow_ambiguous_functions, target_genus, details, find_best_call, silent).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import re
+import sys
+import zlib
+
+import numpy as np
+
+from ..params import EngineParams
+from ..core import oracle as O, family as F
+from ..core.api import KmerEngine
+from ..db.family_db import KmerFamilyMapping, FamilyReps
+from ..io.fasta import FastaParser, FastqParser
+from ..ops.translate import get_possible_proteins
+
+REQUEST_RE = re.compile(r"^([A-Z]+) ([^?#]*)(\?([^#]*))?(#(.*))? HTTP/(\d+\.\d+)")
+MAPPING_PATH_RE = re.compile(r"^/mapping/([^/]+)(/(add|matrix|lookup))$")
+GENUS_PATH_RE = re.compile(r"^/genus_lookup/([^/]+)$")
+
+CHUNK = 1 << 20
+
+
+class ServerContext:
+    """Server state: engine + mapping universes (kserver.cc:31-37)."""
+
+    def __init__(self, engine: KmerEngine, family_mode: bool = False,
+                 family_reps: FamilyReps | None = None,
+                 kmer_version: str = "", families_version: str = "",
+                 batch_size: int = 2048):
+        self.engine = engine
+        self.family_mode = family_mode
+        self.family_reps = family_reps
+        self.kmer_version = kmer_version
+        self.families_version = families_version
+        self.mapping_map: dict[str, KmerFamilyMapping] = {"": KmerFamilyMapping()}
+        self.batch_size = batch_size
+        self.stop_event = asyncio.Event()
+
+    def mapping(self, key: str) -> KmerFamilyMapping:
+        if key not in self.mapping_map:
+            self.mapping_map[key] = KmerFamilyMapping()
+        return self.mapping_map[key]
+
+
+async def _write(writer, data: str | bytes):
+    if isinstance(data, str):
+        data = data.encode("latin-1")
+    writer.write(data)
+    await writer.drain()
+
+
+def _status(http_version: str, code: int, status: str) -> str:
+    return (f"HTTP/{http_version} {code} {status}\n"
+            f"Content-type: text/plain\n")
+
+
+async def _respond(writer, http_version, code, status, body: str):
+    """krequest2.cc:498-520."""
+    msg = _status(http_version, code, status)
+    msg += f"Content-length: {len(body.encode('latin-1'))}\n\n{body}"
+    await _write(writer, msg)
+
+
+class Request:
+    def __init__(self):
+        self.type = ""
+        self.path = ""
+        self.params: dict[str, str] = {}
+        self.headers: dict[str, str] = {}
+        self.http_version = "1.1"
+
+    def engine_params(self) -> EngineParams:
+        return EngineParams.from_query(self.params)
+
+    def int_param(self, name: str, default: int = 0) -> int:
+        try:
+            return int(self.params.get(name, ""))
+        except ValueError:
+            return default
+
+
+async def read_request(reader) -> Request | None:
+    line = await reader.readline()
+    if not line:
+        return None
+    line = line.decode("latin-1").rstrip("\r\n")
+    m = REQUEST_RE.match(line)
+    if not m:
+        print(f"Invalid request '{line}'", file=sys.stderr)
+        return None
+    req = Request()
+    req.type = m.group(1)
+    req.path = m.group(2)
+    req.http_version = m.group(7)
+    raw = m.group(4) or ""
+    if raw:
+        for part in re.split(r"[;&]", raw):
+            pos = part.find("=")
+            if pos >= 0:
+                req.params[part[:pos]] = part[pos + 1:]
+    # headers (krequest2.cc:160-252)
+    while True:
+        hline = await reader.readline()
+        if not hline:
+            break
+        h = hline.decode("latin-1").rstrip("\r\n")
+        if not h:
+            break
+        pos = h.find(":")
+        if pos >= 0:
+            req.headers[h[:pos].strip().lower()] = h[pos + 1:].strip()
+    return req
+
+
+class BodyStream:
+    """Reads exactly content_length bytes in chunks."""
+
+    def __init__(self, reader, content_length: int):
+        self.reader = reader
+        self.remaining = content_length
+
+    async def chunks(self):
+        while self.remaining > 0:
+            data = await self.reader.read(min(CHUNK, self.remaining))
+            if not data:
+                break
+            self.remaining -= len(data)
+            yield data
+
+
+# ---------------------------------------------------------------------------
+# POST handlers
+# ---------------------------------------------------------------------------
+
+async def handle_query(ctx, req, body, writer):
+    """/query (query_request.cc:68-152)."""
+    params = req.engine_params()
+    details = req.int_param("details")
+    find_best = req.int_param("find_best_call")
+    eng = ctx.engine
+    await _write(writer, _status(req.http_version, 200, "OK") + "\n")
+
+    async for items in _fasta_batches(ctx, body):
+        out = []
+        results = eng.annotate(items, params, want_hits=details,
+                               want_otu=True, want_best=find_best)
+        for r in results:
+            if find_best:
+                if r.best.function:
+                    out.append(f"{r.seq_id}\t{r.best.function}\t"
+                               f"{O.fmt_float(r.best.score)}\t"
+                               f"{O.fmt_float(r.best.weighted_score)}\n")
+            else:
+                out.append(f"PROTEIN-ID\t{r.seq_id}\t{r.seq_len}\n")
+                for c in r.calls:
+                    out.append(O.format_call(c, eng.function_of))
+                if details:
+                    for h in r.hits:
+                        out.append(O.format_hit(h, eng.function_of))
+                out.append(O.format_otu_stats(r.seq_id, r.seq_len, r.otu))
+        await _write(writer, "".join(out))
+
+
+async def handle_lookup(ctx, req, body, writer, mapping):
+    """/lookup (lookup_request.cc)."""
+    params = req.engine_params()
+    kmer_hit_threshold = req.int_param("kmer_hit_threhsold", 3)  # [sic]
+    find_best_match = req.int_param("find_best_match")
+    find_reps = req.int_param("find_reps")
+    allow_ambig = req.int_param("allow_ambiguous_functions")
+    target_genus = req.params.get("target_genus", "")
+    target_genus_id = 0
+    tg = mapping.lookup_genus(target_genus)
+    if tg:
+        try:
+            target_genus_id = int(tg)
+        except ValueError:
+            pass
+    family_mode = ctx.family_mode
+    eng = ctx.engine
+    await _write(writer, _status(req.http_version, 200, "OK") + "\n")
+
+    async for items in _fasta_batches(ctx, body):
+        out = []
+        results = eng.annotate(items, params,
+                               want_best=find_best_match and family_mode)
+        if family_mode:
+            out_n, fam, hits_c, weight = eng.family_scores_batch(mapping)
+        else:
+            h = eng.hits_compact()
+        w = 0
+        for s, r in enumerate(results):
+            if family_mode:
+                n = int(out_n[s])
+                seq_score = {int(fam[w + i]): F.SeqScore(
+                    int(hits_c[w + i]), int(hits_c[w + i]),
+                    np.float32(weight[w + i])) for i in range(n)}
+                w += n
+            else:
+                a, b = int(h["row_off"][s]), int(h["row_off"][s + 1])
+                hits = [O.Hit(oI=int(h["oi"][k]), pos=int(h["pos"][k]),
+                              avg_off=0, fI=0, wt=0.0, code=int(h["code"][k]))
+                        for k in range(a, b)]
+                seq_score = F.accumulate_peg_scores(hits, mapping)
+            if find_best_match and family_mode:
+                m = F.find_best_family_match(
+                    r.best, seq_score, mapping, kmer_hit_threshold,
+                    allow_ambig, target_genus_id, genus_filter=True)
+                out.append(F.format_best_match_lookup(r.seq_id, m))
+            else:
+                out.append(f"{r.seq_id}\n")
+                out.append(F.all_matches_rows(
+                    seq_score, mapping, kmer_hit_threshold,
+                    family_mode=family_mode,
+                    family_reps=ctx.family_reps if find_reps else None))
+        await _write(writer, "".join(out))
+
+
+async def handle_add(ctx, req, body, writer, mapping):
+    """/add (add_request.cc:102-229): annotate + ingest into mapping."""
+    params = req.engine_params()
+    silent = req.int_param("silent")
+    eng = ctx.engine
+    await _write(writer, _status(req.http_version, 200, "OK") + "\n")
+
+    async for items in _fasta_batches(ctx, body):
+        out = []
+        results = eng.annotate(items, params, want_hits=True, want_otu=True,
+                               want_best=True)
+        for r in results:
+            if not silent:
+                out.append(f"PROTEIN-ID\t{r.seq_id}\t{r.seq_len}\n")
+                for c in r.calls:
+                    out.append(O.format_call(c, eng.function_of))
+                out.append(O.format_otu_stats(r.seq_id, r.seq_len, r.otu))
+                fn = r.best.function
+                if not fn or " ?? " in fn:
+                    fn = "hypothetical protein"
+                out.append(f"BEST-CALL\t{r.seq_id}\t{fn}\t"
+                           f"{O.fmt_float(r.best.score)}\t"
+                           f"{O.fmt_float(r.best.weighted_score)}\t"
+                           f"{O.fmt_float(r.best.score_offset)}\n")
+            pid = mapping.encode_peg(r.seq_id)
+            for hh in r.hits:
+                mapping.add_peg_mapping(pid, hh.code)
+        await _write(writer, "".join(out))
+
+
+async def handle_matrix(ctx, req, body, writer, mapping):
+    """/matrix (matrix_request.cc): all-vs-all shared-kmer counts."""
+    params = req.engine_params()
+    eng = ctx.engine
+    matrix_proteins: dict[int, int] = {}
+    distance: dict[tuple[int, int], int] = {}
+
+    async for items in _fasta_batches(ctx, body):
+        eng.annotate(items, params)
+        h = eng.hits_compact()
+        for s, (sid, seq) in enumerate(items):
+            eid = mapping.encode_peg(sid)
+            matrix_proteins[eid] = len(seq)
+            a, b = int(h["row_off"][s]), int(h["row_off"][s + 1])
+            for k in range(a, b):
+                for other in mapping.pegs_of_kmer(int(h["code"][k])):
+                    if other != eid and other in matrix_proteins:
+                        key = (eid, other)
+                        distance[key] = distance.get(key, 0) + 1
+
+    out = [_status(req.http_version, 200, "OK"), "\n"]
+    for (e1, e2) in sorted(distance):
+        count = distance[(e1, e2)]
+        l1, l2 = matrix_proteins[e1], matrix_proteins[e2]
+        score = np.float32(np.float32(count) / np.float32(l1 + l2))
+        out.append(f"{mapping.decode_peg(e1)}\t{mapping.decode_peg(e2)}\t"
+                   f"{count}\t{O.fmt_float(score)}\n")
+    await _write(writer, "".join(out))
+
+
+async def handle_fq_lookup(ctx, req, body, writer, mapping):
+    """/fq_lookup (fq_process_request.cc): FASTQ (maybe gzipped) -> 6-frame
+    ORFs -> best family match per ORF -> best frame per read."""
+    params = req.engine_params()
+    eng = ctx.engine
+    await _write(writer, _status(req.http_version, 200, "OK") + "\n")
+
+    reads: list[tuple[str, str]] = []
+    parser = FastqParser(on_seq=lambda i, s: reads.append((i, s)))
+    decomp = None
+    first = True
+    async for data in body.chunks():
+        if first:
+            first = False
+            if len(data) >= 2 and data[0] == 0x1F and data[1] == 0x8B:
+                decomp = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        if decomp is not None:
+            buf = data
+            text = b""
+            while buf:
+                text += decomp.decompress(buf)
+                if decomp.eof:
+                    buf = decomp.unused_data
+                    decomp = zlib.decompressobj(16 + zlib.MAX_WBITS)
+                else:
+                    buf = b""
+            parser.parse_chunk(text)
+        else:
+            parser.parse_chunk(data)
+        out = await _process_reads(ctx, reads, params, req)
+        reads.clear()
+        if out:
+            await _write(writer, out)
+    parser.parse_complete()
+    out = await _process_reads(ctx, reads, params, req)
+    reads.clear()
+    if out:
+        await _write(writer, out)
+
+
+async def _process_reads(ctx, reads, params, req) -> str:
+    """Per-read 6-frame scan (fq_process_request.cc:298-365)."""
+    if not reads:
+        return ""
+    eng = ctx.engine
+    mapping = ctx.mapping_map.get("", None)
+    kmer_hit_threshold = req.int_param("kmer_hit_threhsold", 3)
+    # Gather all ORFs > 10 aa across reads/frames into one batch.
+    orf_items = []
+    read_frames = []  # (read_idx, frame, [orf indices], [orf lens])
+    for ri, (rid, seq) in enumerate(reads):
+        if not rid:
+            continue
+        for frame, prots in get_possible_proteins(seq):
+            idxs, lens = [], []
+            for prot in prots:
+                if len(prot) > 10:
+                    idxs.append(len(orf_items))
+                    lens.append(len(prot))
+                    orf_items.append((rid, prot))
+                else:
+                    idxs.append(-1)
+                    lens.append(len(prot))
+            read_frames.append((ri, frame, idxs, lens))
+    if not orf_items:
+        return ""
+    results = eng.annotate(orf_items, params, want_best=True)
+    out_n, fam, hits_c, weight = eng.family_scores_batch(mapping)
+    row_off = np.zeros(len(orf_items) + 1, dtype=np.int64)
+    np.cumsum(out_n, out=row_off[1:])
+    matches = []
+    for i, r in enumerate(results):
+        a, b = int(row_off[i]), int(row_off[i + 1])
+        seq_score = {int(fam[k]): F.SeqScore(int(hits_c[k]), int(hits_c[k]),
+                                             np.float32(weight[k]))
+                     for k in range(a, b)}
+        matches.append(F.find_best_family_match(
+            r.best, seq_score, mapping, kmer_hit_threshold,
+            genus_filter=False))
+
+    # best-frame selection with the running-score copy quirk
+    # (fq_process_request.cc:318-348)
+    out = []
+    cur_read = None
+    best_score = 0.0
+    best_frame = 0
+    best_matches = []
+    lines = {}
+    for entry_i, (ri, frame, idxs, lens) in enumerate(read_frames):
+        if cur_read != ri:
+            if cur_read is not None and best_score > 0.0:
+                lines[cur_read] = (best_frame, best_score, best_matches)
+            cur_read = ri
+            best_score, best_frame, best_matches = 0.0, 0, []
+        score = 0.0
+        frame_matches = []
+        for oi, olen in zip(idxs, lens):
+            if oi >= 0:
+                m = matches[oi]
+                frame_matches.append((olen, m))
+                score += m.score
+            if score > best_score:
+                best_score = score
+                best_frame = frame
+                best_matches = list(frame_matches)
+    if cur_read is not None and best_score > 0.0:
+        lines[cur_read] = (best_frame, best_score, best_matches)
+
+    for ri, (rid, seq) in enumerate(reads):
+        if ri in lines:
+            frame, score, ms = lines[ri]
+            parts = [f"{rid}\t{frame}\t{'%g' % score}"]
+            for olen, m in ms:
+                parts.append(f"{olen}\t{F.format_best_match_fq(m)}")
+            out.append("\t".join(parts) + "\n")
+    return "".join(out)
+
+
+async def _fasta_batches(ctx, body):
+    """Incrementally parse the FASTA body, yielding batches of (id, seq).
+    Mirrors the chunked parse→compute→write loop (lookup_request.cc:101-138)."""
+    items: list[tuple[str, str]] = []
+    parser = FastaParser(on_seq=lambda i, s: items.append((i, s)))
+    async for data in body.chunks():
+        parser.parse_chunk(data)
+        while len(items) >= ctx.batch_size:
+            yield items[:ctx.batch_size]
+            del items[:ctx.batch_size]
+    parser.parse_complete()
+    items = [(i, s) for i, s in items if i or s]
+    while items:
+        yield items[:ctx.batch_size]
+        del items[:ctx.batch_size]
+
+
+# ---------------------------------------------------------------------------
+# connection handling
+# ---------------------------------------------------------------------------
+
+async def handle_connection(reader, writer, ctx: ServerContext):
+    try:
+        req = await read_request(reader)
+        if req is None:
+            return
+        if req.headers.get("expect") == "100-continue":
+            await _write(writer, f"HTTP/{req.http_version} 100 Continue\n\n")
+
+        if req.type == "GET":
+            await handle_get(ctx, req, writer)
+        elif req.type == "POST":
+            cl = req.headers.get("content-length")
+            if cl is None:
+                await _respond(writer, req.http_version, 500,
+                               "Missing content length",
+                               "Missing content length header\n")
+                return
+            body = BodyStream(reader, int(cl))
+            key, action = "", req.path
+            m = MAPPING_PATH_RE.match(req.path)
+            if m:
+                key, action = m.group(1), m.group(2)
+            mapping = ctx.mapping(key)
+            if action == "/add":
+                await handle_add(ctx, req, body, writer, mapping)
+            elif action == "/matrix":
+                await handle_matrix(ctx, req, body, writer, mapping)
+            elif action == "/lookup":
+                await handle_lookup(ctx, req, body, writer, mapping)
+            elif action == "/fq_lookup":
+                await handle_fq_lookup(ctx, req, body, writer, mapping)
+            elif action == "/query":
+                await handle_query(ctx, req, body, writer)
+            else:
+                await _respond(writer, req.http_version, 404, "Not found",
+                               "path not found\n")
+    except (ConnectionResetError, BrokenPipeError):
+        pass
+    except Exception as e:  # 500 wall (krequest2.cc try/catch analogue)
+        import traceback
+        traceback.print_exc()
+        try:
+            await _respond(writer, "1.1", 500, "Error", f"error: {e}\n")
+        except Exception:
+            pass
+    finally:
+        try:
+            writer.close()
+            await writer.wait_closed()
+        except Exception:
+            pass
+
+
+async def handle_get(ctx, req, writer):
+    hv = req.http_version
+    if req.path == "/quit":
+        await _respond(writer, hv, 200, "OK", "OK, quitting\n")
+        ctx.stop_event.set()
+        return
+    if req.path == "/version":
+        out = []
+        if ctx.kmer_version:
+            out.append(f"kmer\t{ctx.kmer_version}\n")
+        if ctx.families_version:
+            out.append(f"families\t{ctx.families_version}\n")
+        out.append(f"family-mode\t{'1' if ctx.family_mode else '0'}\n")
+        await _respond(writer, hv, 200, "OK", "".join(out))
+        return
+    m = GENUS_PATH_RE.match(req.path)
+    if m:
+        root = ctx.mapping_map.get("")
+        hit = root.genus_map.get(m.group(1)) if root else None
+        if hit is None:
+            await _respond(writer, hv, 404, "Not Found", "genus not found\n")
+        else:
+            await _respond(writer, hv, 200, "OK", hit + "\n")
+        return
+    if req.path == "/dump_mapping":
+        # debugging dump to stdout (krequest2.cc:322-348)
+        root = ctx.mapping_map.get("")
+        from ..ops.encoder import decode_kmer
+        for kmer, pegs in root._kmer_to_pegs.items():
+            print(decode_kmer(kmer) + "\t" +
+                  " ".join(root.decode_peg(p) for p in pegs))
+        await _respond(writer, hv, 200, "OK", "Mapping dumped\n")
+        return
+    if req.path == "/dump_sizes":
+        out = ["memory dump\n"]
+        for key, mapping in ctx.mapping_map.items():
+            out.append(f"Mapping '{key}':\n")
+            out.append(mapping.dump_sizes())
+        await _respond(writer, hv, 200, "OK", "".join(out))
+        return
+    await _respond(writer, hv, 404, "Not found", "path not found\n")
+
+
+async def serve(ctx: ServerContext, host: str = "0.0.0.0", port: int = 0,
+                port_file: str | None = None):
+    """Bind + serve until /quit (kserver.cc:132-214)."""
+    server = await asyncio.start_server(
+        lambda r, w: handle_connection(r, w, ctx), host, port)
+    bound_port = server.sockets[0].getsockname()[1]
+    if port_file:
+        with open(port_file, "w") as f:
+            f.write(f"{bound_port}\n")
+    print(f"listening on port {bound_port}", file=sys.stderr)
+    async with server:
+        await ctx.stop_event.wait()
+    return bound_port
