@@ -1,0 +1,122 @@
+"""CLI tool tests: kfile, fastq_to_protein, validators, unique_prots,
+build_db with recall/validation."""
+
+import io
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from close_kmers_tpu.ops import encoder as E
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_tool(args, stdin=b"", env_extra=None):
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    if env_extra:
+        env.update(env_extra)
+    p = subprocess.run([sys.executable, "-m", "close_kmers_tpu.cli.tools"]
+                       + args, input=stdin, capture_output=True, env=env)
+    return p
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    rng = np.random.default_rng(5)
+    tmp = tmp_path_factory.mktemp("cli")
+    prot = "".join(rng.choice(list(E.PROT_ALPHA), size=60))
+    files = []
+    for g in range(5):
+        p = tmp / f"g{g}.fa"
+        p.write_text(f">fig|{g}.1.peg.1 Amidase\n{prot}\n")
+        files.append(str(p))
+    out = tmp / "data"
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "close_kmers_tpu.cli.build_db", str(out)]
+        + [f"--fasta={f}" for f in files],
+        capture_output=True, env=env)
+    assert r.returncode == 0, r.stderr.decode()
+    assert b"Kept 53 kmers" in r.stderr
+    return tmp, out, prot, files
+
+
+def test_kfile(built):
+    tmp, data, prot, files = built
+    r = run_tool(["kfile", str(data)], stdin=f">p1\n{prot}\n".encode())
+    assert r.returncode == 0, r.stderr.decode()
+    out = r.stdout.decode()
+    assert out.startswith("CALL\t0\t58\t52\t0\tAmidase\t")
+    assert "OTU-COUNTS\tp1[60]\t52--1" in out
+
+
+def test_fastq_to_protein(built, tmp_path):
+    table = {"M": "ATG", "K": "AAA", "L": "CTG", "V": "GTT", "I": "ATT",
+             "N": "AAC", "G": "GGT", "W": "TGG"}
+    prot = "MKLVINGWMKLV"
+    dna = "".join(table[c] for c in prot)
+    fq = tmp_path / "r.fq"
+    fq.write_text(f"@r1\n{dna}\n+\n{'I'*len(dna)}\n")
+    r = run_tool(["fastq_to_protein", str(fq)])
+    assert r.returncode == 0, r.stderr.decode()
+    out = r.stdout.decode()
+    assert f">r1:1:1\n{prot}\n" in out
+
+
+def test_validate_fasta(built, tmp_path):
+    good = tmp_path / "good.fa"
+    good.write_text(">a\nMKLV\n>b\nACDE\n")
+    r = run_tool(["validate_fasta", str(good)])
+    out = r.stdout.decode()
+    assert "valid\t1" in out and "n_seqs\t2" in out
+    assert "total_size\t8" in out and "mean\t4.00" in out
+
+    bad = tmp_path / "bad.fa"
+    bad.write_text("MKLV\n")  # missing >
+    r = run_tool(["validate_fasta", str(bad)])
+    out = r.stdout.decode()
+    assert "valid\t0" in out
+    assert "error_message\tMissing >" in out
+
+
+def test_validate_fastq(built, tmp_path):
+    fq = tmp_path / "r.fq"
+    fq.write_text("@r1\nACGT\n+\nIIII\n")
+    r = run_tool(["validate_fastq", str(fq)])
+    assert "valid\t1" in r.stdout.decode()
+
+
+def test_unique_prots(built, tmp_path):
+    tmp, data, prot, files = built
+    fa = tmp_path / "u.fa"
+    fa.write_text(f">a\n{prot}\n>b\n{prot}\n>c\nMMMMMMMMMMMM\n")
+    r = run_tool(["unique_prots", str(data), str(fa)])
+    lines = r.stdout.decode().strip().split("\n")
+    assert "2\ta b" in lines
+    assert "1\tc" in lines
+
+
+def test_build_db_recall_and_validation(built, tmp_path):
+    tmp, data, prot, files = built
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    out2 = tmp_path / "data2"
+    recall = tmp_path / "recall"
+    vdir = tmp_path / "valid"
+    (vdir / "anno").mkdir(parents=True)
+    (vdir / "seq").mkdir()
+    (vdir / "anno" / "g0").write_text("fig|0.1.peg.1\tAmidase\n")
+    (vdir / "seq" / "g0").write_text(f">fig|0.1.peg.1\n{prot}\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "close_kmers_tpu.cli.build_db", str(out2)]
+        + [f"--fasta={f}" for f in files]
+        + [f"--recall-output={recall}", f"--validation-folder={vdir}"],
+        capture_output=True, env=env)
+    assert r.returncode == 0, r.stderr.decode()
+    calls = (recall / "Calls" / "g0.fa").read_text()
+    assert calls.startswith("fig|0.1.peg.1\tAmidase\t52\t")
+    # recall agrees with training annotation -> New/ file is empty
+    assert (recall / "New" / "g0.fa").read_text() == ""
+    assert "count=1 correct=1 incorrect=0 missing=0" in r.stdout.decode()
