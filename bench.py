@@ -100,28 +100,53 @@ def bench_tpu(db, offsets, lengths):
         nf, ofi, ocnt, owt = native.best_call_batch(n_calls, cs, ce, cc, cf, cw)
         return int(n_calls.sum())
 
+    import jax
+    import jax.numpy as jnp
+    GROUP = int(os.environ.get("BENCH_GROUP", 4))
+
     # warmup/compile
     t0 = time.time()
     out, cap = ds.score_batch_packed(offsets[:BATCH], lengths[:BATCH], params)
     host_side(np.asarray(out), BATCH, cap)
+    jax.block_until_ready(jnp.concatenate([out, out]))
     log(f"warmup+compile {time.time()-t0:.1f}s")
+
+    def read_group(group):
+        """Concatenate a group's packed outputs on device and read back
+        with a single D2H (the relay's per-transfer latency dominates)."""
+        outs = [g[0] for g in group]
+        joined = np.asarray(jnp.concatenate(outs)) if len(outs) > 1 \
+            else np.asarray(outs[0])
+        calls = 0
+        k = 0
+        for _, bsz, cap in group:
+            n = bsz + 5 * cap
+            calls += host_side(joined[k:k + n], bsz, cap)
+            k += n
+        return calls, sum(g[1] for g in group)
 
     t0 = time.time()
     total_calls = n_done = 0
-    pending = None  # (device_out, B, cap)
+    pending = []
+    ready = None  # fully-dispatched previous group, read after the next
     for a in range(0, N_QUERY, BATCH):
         b = min(a + BATCH, N_QUERY)
         if b - a < BATCH:
             break
         out, cap = ds.score_batch_packed(offsets[a:b], lengths[a:b], params)
-        if pending is not None:
-            total_calls += host_side(np.asarray(pending[0]), pending[1],
-                                     pending[2])
-            n_done += pending[1]
-        pending = (out, b - a, cap)
-    if pending is not None:
-        total_calls += host_side(np.asarray(pending[0]), pending[1], pending[2])
-        n_done += pending[1]
+        pending.append((out, b - a, cap))
+        if len(pending) >= GROUP:
+            if ready is not None:
+                c, n = read_group(ready)
+                total_calls += c
+                n_done += n
+            ready = pending
+            pending = []
+    for group in (ready, pending):
+        if group:
+            c, n = read_group(group)
+            total_calls += c
+            n_done += n
     dt = time.time() - t0
     log(f"TPU path: {n_done} proteins in {dt:.2f}s, {total_calls} calls")
     return n_done / dt
@@ -130,12 +155,15 @@ def bench_tpu(db, offsets, lengths):
 def bench_cpu(db, offsets, lengths):
     from close_kmers_tpu.native import api as native
 
-    t0 = time.time()
-    n_calls = native.pipeline_batch(db, offsets[:N_CPU], lengths[:N_CPU])
-    dt = time.time() - t0
-    log(f"CPU single-core: {N_CPU} proteins in {dt:.2f}s "
+    best = None
+    for _ in range(3):  # best-of-3: the shared host is noisy
+        t0 = time.time()
+        n_calls = native.pipeline_batch(db, offsets[:N_CPU], lengths[:N_CPU])
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    log(f"CPU single-core: {N_CPU} proteins in {best:.2f}s best-of-3 "
         f"({int(n_calls.sum())} calls)")
-    return N_CPU / dt
+    return N_CPU / best
 
 
 def main():
