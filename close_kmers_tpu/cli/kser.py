@@ -126,12 +126,20 @@ def main(argv=None):
     ap.add_argument("--reps-file", default=None)
     ap.add_argument("--reps-dir", default=None)
     ap.add_argument("--batch-size", type=int, default=2048)
+    ap.add_argument("--restore", default=None,
+                    help="restore mapping state from a /checkpoint file")
+    ap.add_argument("--checkpoint-dir", default=".",
+                    help="directory for /checkpoint output")
     ap.add_argument("--n-kmer-threads", type=int, default=1,
                     help="accepted for reference CLI compat; batching "
                          "replaces thread-level parallelism")
     args = ap.parse_args(argv)
 
     ctx = load_server_context(args.data_dir, args, args.batch_size)
+    ctx.checkpoint_dir = args.checkpoint_dir
+    if args.restore:
+        ctx.restore(args.restore)
+        print(f"restored mapping state from {args.restore}", file=sys.stderr)
     if args.no_listen:
         return 0
 

@@ -59,6 +59,27 @@ class ServerContext:
         self.mapping_map: dict[str, KmerFamilyMapping] = {"": KmerFamilyMapping()}
         self.batch_size = batch_size
         self.stop_event = asyncio.Event()
+        from ..utils.metrics import Metrics
+        self.metrics = Metrics()
+        self.checkpoint_dir = "."
+
+    def checkpoint(self) -> str:
+        """Persist the mutable server state (the mapping universes) to a
+        checkpoint file — the TPU-native stand-in for the reference's
+        whole-process BLCR checkpoint (krequest2.cc:361-408): the
+        signature DB is already a restartable on-disk image, so only the
+        dynamically-accumulated mappings need saving."""
+        import os
+        import pickle
+        path = os.path.join(self.checkpoint_dir, f"checkpoint.{os.getpid()}")
+        with open(path, "wb") as f:
+            pickle.dump(self.mapping_map, f)
+        return path
+
+    def restore(self, path: str) -> None:
+        import pickle
+        with open(path, "rb") as f:
+            self.mapping_map = pickle.load(f)
 
     def mapping(self, key: str) -> KmerFamilyMapping:
         if key not in self.mapping_map:
@@ -166,6 +187,7 @@ async def handle_query(ctx, req, body, writer):
 
     async for items in _fasta_batches(ctx, body):
         out = []
+        ctx.metrics.inc("proteins", len(items))
         results = eng.annotate(items, params, want_hits=details,
                                want_otu=True, want_best=find_best)
         for r in results:
@@ -206,6 +228,7 @@ async def handle_lookup(ctx, req, body, writer, mapping):
 
     async for items in _fasta_batches(ctx, body):
         out = []
+        ctx.metrics.inc("proteins", len(items))
         results = eng.annotate(items, params,
                                want_best=find_best_match and family_mode)
         if family_mode:
@@ -249,6 +272,7 @@ async def handle_add(ctx, req, body, writer, mapping):
 
     async for items in _fasta_batches(ctx, body):
         out = []
+        ctx.metrics.inc("proteins", len(items))
         results = eng.annotate(items, params, want_hits=True, want_otu=True,
                                want_best=True)
         for r in results:
@@ -447,6 +471,8 @@ async def handle_connection(reader, writer, ctx: ServerContext):
         if req.headers.get("expect") == "100-continue":
             await _write(writer, f"HTTP/{req.http_version} 100 Continue\n\n")
 
+        ctx.metrics.inc("requests")
+        ctx.metrics.inc(f"requests{req.path.split('?')[0]}", 1)
         if req.type == "GET":
             await handle_get(ctx, req, writer)
         elif req.type == "POST":
@@ -524,6 +550,17 @@ async def handle_get(ctx, req, writer):
             print(decode_kmer(kmer) + "\t" +
                   " ".join(root.decode_peg(p) for p in pegs))
         await _respond(writer, hv, 200, "OK", "Mapping dumped\n")
+        return
+    if req.path == "/metrics":
+        await _respond(writer, hv, 200, "OK", ctx.metrics.render())
+        return
+    if req.path == "/checkpoint":
+        try:
+            path = ctx.checkpoint()
+            await _respond(writer, hv, 200, "OK", "OK\n")
+            print(f"checkpoint written to {path}", file=sys.stderr)
+        except Exception as e:
+            await _respond(writer, hv, 500, "Error", f"checkpoint failed: {e}\n")
         return
     if req.path == "/dump_sizes":
         out = ["memory dump\n"]
