@@ -1,0 +1,64 @@
+"""Pallas scan-scoring kernel parity vs the XLA scan (interpret mode on
+the CPU mesh; the same code runs compiled on TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from close_kmers_tpu.core.device_score import _scan_score
+from close_kmers_tpu.ops.pallas_scan import TB, scan_score_pallas
+
+
+def random_streams(rng, B, W, n_funcs=5, p_hit=0.3):
+    found = rng.random((B, W)) < p_hit
+    fi = rng.integers(0, n_funcs, size=(B, W)).astype(np.int32)
+    av = rng.integers(0, 300, size=(B, W)).astype(np.int32)
+    wt = rng.uniform(0.1, 3.0, size=(B, W)).astype(np.float32)
+    return (jnp.asarray(found), jnp.asarray(fi), jnp.asarray(av),
+            jnp.asarray(wt))
+
+
+@pytest.mark.parametrize("params", [
+    dict(min_hits=5, min_weighted_hits=0, max_gap=200, order_constraint=0),
+    dict(min_hits=2, min_weighted_hits=0, max_gap=10, order_constraint=0),
+    dict(min_hits=1, min_weighted_hits=2, max_gap=50, order_constraint=0),
+    dict(min_hits=2, min_weighted_hits=0, max_gap=200, order_constraint=1),
+])
+def test_pallas_scan_matches_xla_scan(params):
+    rng = np.random.default_rng(8)
+    B, W = TB, 96
+    found, fi, av, wt = random_streams(rng, B, W)
+    emit_x, fields_x = _scan_score(found, fi, av, wt, **params)
+    emit_p, fields_p = scan_score_pallas(found, fi, av, wt, interpret=True,
+                                         **params)
+    assert np.array_equal(np.asarray(emit_x), np.asarray(emit_p))
+    for fx, fp in zip(fields_x, fields_p):
+        fx, fp = np.asarray(fx), np.asarray(fp)
+        mask = np.asarray(emit_x)
+        # only emitted slots are meaningful
+        assert np.array_equal(fx[mask], fp[mask])
+
+
+def test_pallas_scan_dense_runs():
+    rng = np.random.default_rng(9)
+    B, W = TB, 64
+    # dense same-function runs: every position hits, few functions
+    found = jnp.ones((B, W), bool)
+    fi = jnp.asarray(rng.integers(0, 2, size=(B, W)).astype(np.int32))
+    av = jnp.zeros((B, W), jnp.int32)
+    wt = jnp.ones((B, W), jnp.float32)
+    emit_x, fields_x = _scan_score(found, fi, av, wt, 3, 0, 200, 0)
+    emit_p, fields_p = scan_score_pallas(found, fi, av, wt, min_hits=3,
+                                         interpret=True)
+    assert np.array_equal(np.asarray(emit_x), np.asarray(emit_p))
+    mask = np.asarray(emit_x)
+    for fx, fp in zip(fields_x, fields_p):
+        assert np.array_equal(np.asarray(fx)[mask], np.asarray(fp)[mask])
+
+
+def test_pallas_rejects_bad_batch():
+    z = jnp.zeros((TB + 1, 16))
+    with pytest.raises(ValueError):
+        scan_score_pallas(z.astype(bool), z.astype(jnp.int32),
+                          z.astype(jnp.int32), z.astype(jnp.float32),
+                          interpret=True)
