@@ -166,6 +166,40 @@ def bench_cpu(db, offsets, lengths):
     return N_CPU / best
 
 
+def bench_family(db, offsets, lengths, rng):
+    """Config-2 secondary measurement: fused probe + on-device family
+    rollup (proteins/s reported to stderr; primary metric unchanged)."""
+    from close_kmers_tpu.core.device_family import DeviceFamilyScorer
+    from close_kmers_tpu.db.family_db import KmerFamilyMapping
+
+    n = len(db)
+    deg = rng.integers(1, 4, size=n)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=offs[1:])
+    vals = np.repeat(db.fi * 3, deg) + (np.arange(offs[-1]) % 3).astype(np.int32)
+    mapping = KmerFamilyMapping()
+    mapping._fam_csr = (db.keys, offs, vals.astype(np.int32))
+
+    t0 = time.time()
+    dfs = DeviceFamilyScorer(db, mapping)
+    log(f"family DB densified+uploaded in {time.time()-t0:.1f}s (D={dfs.fdb.d})")
+    t0 = time.time()
+    dfs.rollup(offsets[:BATCH], lengths[:BATCH])
+    log(f"family warmup+compile {time.time()-t0:.1f}s")
+    t0 = time.time()
+    n_done = 0
+    for a in range(0, min(N_QUERY, 4 * BATCH), BATCH):
+        b = a + BATCH
+        if b > N_QUERY:
+            break
+        dfs.rollup(offsets[a:b], lengths[a:b])
+        n_done += BATCH
+    dt = time.time() - t0
+    if n_done:
+        log(f"family path: {n_done} proteins in {dt:.2f}s "
+            f"({n_done/dt:.0f} proteins/s)")
+
+
 def main():
     import jax
     cache_dir = os.path.join(CACHE, "jax")
@@ -179,6 +213,11 @@ def main():
     db, offsets, lengths = build_corpus(rng)
     cpu_rate = bench_cpu(db, offsets, lengths)
     tpu_rate = bench_tpu(db, offsets, lengths)
+    if os.environ.get("BENCH_FAMILY", "1") == "1":
+        try:
+            bench_family(db, offsets, lengths, rng)
+        except Exception as e:
+            log("family bench failed:", e)
     print(json.dumps({
         "metric": "proteins_per_s_per_chip",
         "value": round(tpu_rate, 1),

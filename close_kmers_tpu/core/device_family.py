@@ -1,0 +1,154 @@
+"""On-device family-score rollup.
+
+The /lookup family path accumulates, per sequence, {family: (hit_count,
+weighted_total += 1/N)} over every signature-kmer hit
+(/root/reference/lookup_request.cc:446-469).  The host path ships compact
+hit lists off-device first (~KBs per protein); this module keeps the
+rollup on device so only the per-(sequence, family) score triples leave
+the chip:
+
+1. the kmer→family CSR is densified to a degree-padded [N+1, D] int32
+   table aligned to the signature DB rows (D = max families per kmer),
+   plus precomputed 1/degree float32 weights (SURVEY §7: precompute the
+   global 1/N degree into the DB rather than at query time);
+2. the probe's matched row index gathers each hit's family row and
+   weight; (sequence, family) pairs are stable-sorted (two int32 keys —
+   no 64-bit packing) and segment-reduced into run triples.
+
+Exactness: hit counts are integer-exact.  weighted_total is a float32
+segment reduction whose association order XLA chooses, so it can differ
+from the reference's strictly-sequential adds in the last ulp; the
+native/host path (native.family_scores) remains the byte-exact reference
+and the server default.  Stable sorting preserves hit-then-list order
+within each segment, so any divergence is pure f32 reassociation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..db.signature_db import SignatureDB
+from .engine import DeviceDB, encode_windows, probe_windows
+
+
+@dataclasses.dataclass
+class DeviceFamilyDB:
+    fam: jax.Array      # i32[N+1, D] family ids, -1 padded
+    inv_deg: jax.Array  # f32[N+1] = 1/degree (0 for unmapped kmers)
+    d: int
+
+    @classmethod
+    def from_mapping(cls, db: SignatureDB, mapping, device=None) -> "DeviceFamilyDB":
+        keys, offs, vals = mapping.fam_csr()
+        n = len(db)
+        deg = np.zeros(n + 1, dtype=np.int64)
+        rows = np.searchsorted(db.keys, keys)
+        ok = (rows < n) & (db.keys[np.minimum(rows, n - 1)] == keys) \
+            if n else np.zeros(len(keys), bool)
+        counts = (offs[1:] - offs[:-1])
+        deg[rows[ok]] = counts[ok]
+        D = int(counts.max()) if len(counts) else 1
+        D = max(D, 1)
+        fam = np.full((n + 1, D), -1, dtype=np.int32)
+        # vectorized densify: column j gets the j-th family of every kmer
+        # whose degree exceeds j
+        for j in range(D):
+            m = ok & (counts > j)
+            fam[rows[m], j] = vals[offs[:-1][m] + j]
+        inv = np.zeros(n + 1, dtype=np.float32)
+        nz = deg > 0
+        inv[nz] = (np.float32(1.0) / np.float32(deg[nz])).astype(np.float32)
+        put = functools.partial(jax.device_put, device=device)
+        return cls(put(jnp.asarray(fam)), put(jnp.asarray(inv)), D)
+
+
+@functools.partial(jax.jit, static_argnames=("capf",))
+def _family_rollup_jit(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
+                       n, n_steps, fam_tab, inv_deg, offsets, lengths, capf):
+    ddb = DeviceDB(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
+                   n_steps, n)
+    hi, lo, valid = encode_windows(offsets, lengths)
+    hi_c = jnp.where(valid, hi, 0)
+    lo_c = jnp.where(valid, lo, -2)
+    left = bucket_start[hi_c]
+    right = bucket_start[hi_c + 1]
+    end = right
+
+    def search_step(_, lr):
+        l, r = lr
+        cont = l < r
+        mid = (l + r) >> 1
+        v = lo_arr[jnp.minimum(mid, n)]
+        go_right = cont & (v < lo_c)
+        return (jnp.where(go_right, mid + 1, l),
+                jnp.where(cont & ~go_right, mid, r))
+
+    left, right = jax.lax.fori_loop(0, n_steps, search_step, (left, right))
+    idx = jnp.minimum(left, n)
+    found = valid & (left < end) & (lo_arr[idx] == lo_c)
+
+    B, W = hi.shape
+    idx = jnp.where(found, idx, n)           # padded row: fam=-1, inv=0
+    fams = fam_tab[idx]                      # [B, W, D]
+    D = fams.shape[-1]
+    w = inv_deg[idx]                         # [B, W]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, W, D), 0)
+
+    flat_f = fams.reshape(-1)
+    flat_b = rows.reshape(-1)
+    flat_w = jnp.broadcast_to(w[:, :, None], (B, W, D)).reshape(-1)
+    BIG = jnp.int32(2 ** 30)
+    ok = flat_f >= 0
+    kb = jnp.where(ok, flat_b, BIG)
+    kf = jnp.where(ok, flat_f, BIG)
+    kw = jnp.where(ok, flat_w, 0.0)
+    sb, sf, sw = jax.lax.sort((kb, kf, kw), num_keys=2, is_stable=True)
+
+    change = jnp.concatenate([
+        jnp.ones(1, bool), (sb[1:] != sb[:-1]) | (sf[1:] != sf[:-1])])
+    rid = jnp.cumsum(change.astype(jnp.int32)) - 1
+    rid_c = jnp.minimum(rid, capf - 1)
+    is_real = sb != BIG
+    counts = jax.ops.segment_sum(is_real.astype(jnp.int32), rid_c, capf)
+    weights = jax.ops.segment_sum(sw, rid_c, capf)
+    run_b = jax.ops.segment_min(jnp.where(is_real, sb, BIG), rid_c, capf)
+    run_f = jax.ops.segment_min(jnp.where(is_real, sf, BIG), rid_c, capf)
+    n_runs = jnp.sum(change & is_real)
+    # per-sequence run counts for host-side slicing
+    per_seq = jax.ops.segment_sum((change & is_real).astype(jnp.int32),
+                                  jnp.minimum(jnp.where(is_real, sb, B), B),
+                                  B + 1)[:B]
+    return run_b, run_f, counts, weights, n_runs, per_seq
+
+
+class DeviceFamilyScorer:
+    """Fused probe + family rollup engine."""
+
+    def __init__(self, db: SignatureDB, mapping, device=None):
+        self.db = db
+        self.ddb = DeviceDB.from_db(db, device=device)
+        self.fdb = DeviceFamilyDB.from_mapping(db, mapping, device=device)
+
+    def rollup(self, offsets: np.ndarray, lengths: np.ndarray,
+               fams_per_seq_cap: int = 64):
+        """Returns (n_per_seq [B], fam, count, weight arrays concatenated
+        in (sequence, family-id) order).  Note: within a sequence the
+        entries are family-id-ordered (sort-based), not first-hit-ordered
+        like the host path."""
+        B = offsets.shape[0]
+        capf = B * fams_per_seq_cap
+        d = self.ddb
+        run_b, run_f, counts, weights, n_runs, per_seq = _family_rollup_jit(
+            d.bucket_start, d.lo, d.fi, d.oi, d.avg_off, d.wt, d.n,
+            d.n_steps, self.fdb.fam, self.fdb.inv_deg,
+            jnp.asarray(offsets), jnp.asarray(lengths), capf)
+        n_runs = int(n_runs)
+        if n_runs > capf - 1:
+            return self.rollup(offsets, lengths, fams_per_seq_cap * 4)
+        return (np.asarray(per_seq), np.asarray(run_f)[:n_runs],
+                np.asarray(counts)[:n_runs], np.asarray(weights)[:n_runs])

@@ -1,0 +1,72 @@
+"""On-device family rollup vs the host accumulation path."""
+
+import numpy as np
+import pytest
+
+from close_kmers_tpu.core import family as F
+from close_kmers_tpu.core.engine import FastAnnotator, TpuEngine
+from close_kmers_tpu.core.device_family import DeviceFamilyScorer
+from close_kmers_tpu.db.family_db import KmerFamilyMapping
+
+from test_engine import random_db, random_seqs
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(55)
+    db = random_db(rng)
+    seqs = random_seqs(rng, db, n=24)
+    mapping = KmerFamilyMapping()
+    for k in db.keys:
+        for fid in set(rng.integers(0, 40, size=rng.integers(1, 5)).tolist()):
+            mapping.add_fam_mapping(int(fid), int(k))
+    return db, seqs, mapping
+
+
+def test_device_rollup_matches_host(setup):
+    db, seqs, mapping = setup
+    dfs = DeviceFamilyScorer(db, mapping)
+    eng = TpuEngine(db)
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    n_per_seq, fam, counts, weights = dfs.rollup(offsets, lengths)
+
+    hit_lists = eng.hits_of_batch(seqs)
+    k = 0
+    total = 0
+    for s, seq in enumerate(seqs):
+        py = F.accumulate_family_scores(hit_lists[s], mapping)
+        n = int(n_per_seq[s])
+        got = {int(fam[k + i]): (int(counts[k + i]), float(weights[k + i]))
+               for i in range(n)}
+        want = {fid: (ss.hit_count, float(ss.weighted_total))
+                for fid, ss in py.items()}
+        assert set(got) == set(want), s
+        for fid in want:
+            assert got[fid][0] == want[fid][0]          # counts exact
+            assert got[fid][1] == pytest.approx(want[fid][1], rel=1e-5)
+        # device entries are family-id ordered within a sequence
+        assert [int(fam[k + i]) for i in range(n)] == sorted(got)
+        k += n
+        total += n
+    assert total > 50
+
+
+def test_device_rollup_cap_retry(setup):
+    db, seqs, mapping = setup
+    dfs = DeviceFamilyScorer(db, mapping)
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    a = dfs.rollup(offsets, lengths, fams_per_seq_cap=1)
+    b = dfs.rollup(offsets, lengths, fams_per_seq_cap=64)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_device_rollup_no_hits(setup):
+    db, _, mapping = setup
+    dfs = DeviceFamilyScorer(db, mapping)
+    offsets = np.full((4, 64), 20, dtype=np.uint8)
+    lengths = np.zeros(4, dtype=np.int32)
+    n_per_seq, fam, counts, weights = dfs.rollup(offsets, lengths)
+    assert n_per_seq.sum() == 0 and len(fam) == 0

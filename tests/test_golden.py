@@ -1,0 +1,82 @@
+"""Golden conversation snapshots: byte-for-byte server behavior lock.
+
+tests/golden/ holds a frozen data directory, query FASTA, and the exact
+response bytes for a set of canned requests.  Any change to parsing,
+scoring, formatting, or the wire protocol that alters these bytes fails
+here — re-record deliberately only when a semantic change is intended.
+"""
+
+import asyncio
+import os
+import socket
+import threading
+
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+
+
+@pytest.fixture(scope="module")
+def golden_server():
+    from close_kmers_tpu.cli.kser import load_server_context
+    from close_kmers_tpu.server.http import handle_connection
+
+    ctx = load_server_context(os.path.join(GOLDEN, "data"), batch_size=64)
+    loop = asyncio.new_event_loop()
+    holder = {}
+    ready = threading.Event()
+
+    async def run():
+        srv = await asyncio.start_server(
+            lambda r, w: handle_connection(r, w, ctx), "127.0.0.1", 0)
+        holder["port"] = srv.sockets[0].getsockname()[1]
+        ready.set()
+        async with srv:
+            await ctx.stop_event.wait()
+
+    t = threading.Thread(target=lambda: loop.run_until_complete(run()),
+                         daemon=True)
+    t.start()
+    assert ready.wait(60)
+    yield holder["port"]
+    ctx.stop_event.set()
+
+
+def http(port, req: bytes) -> bytes:
+    s = socket.create_connection(("127.0.0.1", port), timeout=60)
+    s.sendall(req)
+    out = b""
+    while True:
+        c = s.recv(65536)
+        if not c:
+            break
+        out += c
+    s.close()
+    return out
+
+
+CONVS = {
+    "version": lambda body: b"GET /version HTTP/1.1\n\n",
+    "query": lambda body:
+        b"POST /query HTTP/1.1\nContent-length: %d\n\n" % len(body) + body,
+    "query_details": lambda body:
+        b"POST /query?details=1&min_hits=3 HTTP/1.1\nContent-length: %d\n\n"
+        % len(body) + body,
+    "query_best": lambda body:
+        b"POST /query?find_best_call=1 HTTP/1.1\nContent-length: %d\n\n"
+        % len(body) + body,
+    "lookup": lambda body:
+        b"POST /lookup HTTP/1.1\nContent-length: %d\n\n" % len(body) + body,
+    "lookup_best": lambda body:
+        b"POST /lookup?find_best_match=1&target_genus=Escherichia "
+        b"HTTP/1.1\nContent-length: %d\n\n" % len(body) + body,
+}
+
+
+@pytest.mark.parametrize("name", sorted(CONVS))
+def test_golden_conversation(golden_server, name):
+    with open(os.path.join(GOLDEN, "queries.fa"), "rb") as f:
+        body = f.read()
+    want = open(os.path.join(GOLDEN, f"{name}.resp"), "rb").read()
+    got = http(golden_server, CONVS[name](body))
+    assert got == want, f"golden mismatch for {name}"
