@@ -38,7 +38,8 @@ def discover_data_dir(data_dir: str) -> dict:
     return found
 
 
-def load_server_context(data_dir: str, args=None, batch_size: int = 2048):
+def load_server_context(data_dir: str, args=None, batch_size: int = 2048,
+                        n_shards: int = 0):
     from ..core.api import KmerEngine
     from ..db.signature_db import SignatureDB
     from ..db.family_db import FamilyReps
@@ -48,7 +49,12 @@ def load_server_context(data_dir: str, args=None, batch_size: int = 2048):
     db = SignatureDB.load_dir(data_dir)
     print(f"loaded signature DB: {len(db):,} kmers in {time.time()-t0:.1f}s",
           file=sys.stderr)
-    engine = KmerEngine(db)
+    mesh = None
+    if n_shards:
+        from ..parallel.sharding import make_mesh
+        mesh = make_mesh(1, n_shards)
+        print(f"serving with {n_shards} table shards", file=sys.stderr)
+    engine = KmerEngine(db, mesh=mesh)
 
     found = discover_data_dir(data_dir)
     kmer_version = families_version = ""
@@ -130,12 +136,16 @@ def main(argv=None):
                     help="restore mapping state from a /checkpoint file")
     ap.add_argument("--checkpoint-dir", default=".",
                     help="directory for /checkpoint output")
+    ap.add_argument("--shards", type=int, default=0,
+                    help="range-shard the DB across this many devices "
+                         "(table axis of a 1 x N mesh)")
     ap.add_argument("--n-kmer-threads", type=int, default=1,
                     help="accepted for reference CLI compat; batching "
                          "replaces thread-level parallelism")
     args = ap.parse_args(argv)
 
-    ctx = load_server_context(args.data_dir, args, args.batch_size)
+    ctx = load_server_context(args.data_dir, args, args.batch_size,
+                              args.shards)
     ctx.checkpoint_dir = args.checkpoint_dir
     if args.restore:
         ctx.restore(args.restore)

@@ -32,9 +32,15 @@ class AnnotationResult:
 class KmerEngine:
     """Batch annotation engine with reference-exact semantics."""
 
-    def __init__(self, db: SignatureDB, device=None):
+    def __init__(self, db: SignatureDB, device=None, mesh=None):
+        """``mesh``: optional jax Mesh — probe against a range-sharded DB
+        over its ("data","table") axes instead of one device."""
         self.db = db
-        self.fa = FastAnnotator(db, device=device)
+        if mesh is not None:
+            from ..parallel.sharding import ShardedEngine
+            self.fa = ShardedEngine(db, mesh)
+        else:
+            self.fa = FastAnnotator(db, device=device)
         self.function_of = db.function_of
 
     # -- core batch annotation ----------------------------------------------

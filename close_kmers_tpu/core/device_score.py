@@ -53,8 +53,11 @@ def _scan_score(found, h_fi, h_av, h_wt, min_hits, min_weighted_hits,
 
     i32 = jnp.int32
     f32 = jnp.float32
-    zero = jnp.zeros((B,), i32)
-    zf = jnp.zeros((B,), f32)
+    # Derive the init zeros from the inputs so they carry the same
+    # varying-axes type under shard_map (a plain jnp.zeros is unvarying
+    # and trips the scan carry type check).
+    zero = jnp.zeros_like(h_fi[:, 0], dtype=i32)
+    zf = jnp.zeros_like(h_wt[:, 0], dtype=f32)
 
     init = dict(
         num_hits=zero, current=zero, first_pos=zero,

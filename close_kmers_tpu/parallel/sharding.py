@@ -146,14 +146,22 @@ def probe_sharded(sdb: ShardedDB, offsets, lengths):
 
 
 def _annotate_step_local(bs, lo, fi, oi, av, wt, offsets, lengths, *, n_steps, m):
-    """One full device-side annotation step: probe + merge + per-sequence
-    score reductions.  This is the framework's "training step" analogue —
-    the compute graph the driver dry-runs over an N-device mesh."""
+    """One full device-side annotation step: probe + psum merge + the
+    complete run/gap/two-hit scoring scan + per-sequence reductions.
+    This is the framework's "training step" analogue — the compute graph
+    the driver dry-runs over an N-device mesh."""
+    from ..core.device_score import _scan_score
+
     found, p_fi, p_oi, p_av, p_wt, hi_q, lo_q = _local_probe(
         bs, lo, fi, oi, av, wt, offsets, lengths, n_steps=n_steps, m=m)
     fnd = found > 0
     n_hits = jnp.sum(found, axis=1)
     weighted = jnp.sum(jnp.where(fnd, p_wt, 0.0), axis=1)
+    # the full sequential scoring state machine over the merged hits
+    emit, (c_start, c_end, c_cnt, c_fi, c_wt) = _scan_score(
+        fnd, p_fi, p_av, p_wt, 5, 0, 200, 0)
+    n_calls = emit.sum(axis=1, dtype=jnp.int32)
+    call_wt = jnp.sum(jnp.where(emit, c_wt, 0.0), axis=1)
     # per-sequence per-function weighted rollup onto a capped function
     # table (segment-reduce analogue of seq_score accumulation)
     NFUNC_TILE = 128
@@ -161,7 +169,7 @@ def _annotate_step_local(bs, lo, fi, oi, av, wt, offsets, lengths, *, n_steps, m
     one_hot = jax.nn.one_hot(f_mod, NFUNC_TILE + 1, dtype=jnp.float32)
     func_wt = jnp.einsum("bwf,bw->bf", one_hot,
                          jnp.where(fnd, p_wt, 0.0))
-    return n_hits, weighted, func_wt[:, :NFUNC_TILE]
+    return n_hits, weighted, func_wt[:, :NFUNC_TILE], n_calls, call_wt
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "m", "mesh"))
@@ -173,7 +181,8 @@ def _annotate_step_jit(bs, lo, fi, oi, av, wt, n_steps, m, mesh,
         in_specs=(P("table", None), P("table", None), P("table", None),
                   P("table", None), P("table", None), P("table", None),
                   P("data", None), P("data")),
-        out_specs=(P("data"), P("data"), P("data", None)),
+        out_specs=(P("data"), P("data"), P("data", None), P("data"),
+                   P("data")),
     )
     return fn(bs, lo, fi, oi, av, wt, offsets, lengths)
 
@@ -199,6 +208,25 @@ class ShardedEngine:
     def pad_to_data_axis(self, B: int) -> int:
         d = self.mesh.shape["data"]
         return -(-B // d) * d
+
+    def pad_batch(self, seqs, pad_to=None):
+        from ..core.engine import FastAnnotator
+        return FastAnnotator.pad_batch(self, seqs, pad_to)
+
+    def hits_of_batch(self, seqs, pad_to=None):
+        """Compact per-sequence oracle.Hit lists (FastAnnotator-compatible
+        interface for NR preload and handlers)."""
+        from ..core import oracle as Orc
+        h = self.probe_compact(*self.pad_batch(seqs, pad_to))
+        out = []
+        for s in range(len(seqs)):
+            a, b = int(h["row_off"][s]), int(h["row_off"][s + 1])
+            out.append([Orc.Hit(oI=int(h["oi"][k]), pos=int(h["pos"][k]),
+                                avg_off=int(h["avg_off"][k]),
+                                fI=int(h["fi"][k]), wt=float(h["wt"][k]),
+                                code=int(h["code"][k]))
+                        for k in range(a, b)])
+        return out
 
     def probe_compact(self, offsets: np.ndarray, lengths: np.ndarray):
         B = offsets.shape[0]

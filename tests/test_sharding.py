@@ -61,13 +61,16 @@ def test_annotate_step_runs_sharded(corpus):
     se = ShardedEngine(db, mesh)
     fa = FastAnnotator(db)
     offsets, lengths = fa.pad_batch(seqs[:8])
-    n_hits, weighted, func_wt = annotate_step_sharded(se.sdb, offsets, lengths)
+    n_hits, weighted, func_wt, n_calls, call_wt = annotate_step_sharded(
+        se.sdb, offsets, lengths)
     n_hits = np.asarray(n_hits)
     # cross-check hit counts against the compact probe
     want = fa.probe_compact(offsets, lengths)
     counts = np.diff(want["row_off"])
     assert np.array_equal(n_hits, counts)
     assert np.asarray(func_wt).shape == (8, 128)
+    assert np.asarray(n_calls).shape == (8,)
+    assert (np.asarray(n_calls) >= 0).all()
 
 
 def test_sharded_db_row_ranges(corpus):
