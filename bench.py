@@ -26,7 +26,7 @@ N_SRC = int(os.environ.get("BENCH_N_SRC", 70_000))     # source proteins
 PROT_LEN = int(os.environ.get("BENCH_PROT_LEN", 300))
 N_QUERY = int(os.environ.get("BENCH_N_QUERY", 32_768))
 BATCH = int(os.environ.get("BENCH_BATCH", 8192))
-N_CPU = int(os.environ.get("BENCH_N_CPU", 512))        # baseline sample
+N_CPU = int(os.environ.get("BENCH_N_CPU", 4096))       # baseline sample (large enough to exceed LLC)
 N_FUNCS = 4096
 CACHE = os.environ.get(
     "BENCH_CACHE",
@@ -84,8 +84,12 @@ def build_corpus(rng):
 
 
 def bench_tpu(db, offsets, lengths):
-    """Fused device probe+score (compact CALL download) + native C++
-    best-call reduction, with dispatch/readback pipelining."""
+    """Device probe + scan scoring (compact CALL download) + native C++
+    best-call reduction, with grouped readback pipelining.  (The fully
+    fused device find_best_call path exists — DeviceScorer.best_batch_packed
+    — but on this H2D-bound link the smaller download buys nothing while
+    its extra reduction scans cost ~170 ms/batch, so the compact-CALL
+    path is faster end-to-end here.)"""
     from close_kmers_tpu.core.device_score import DeviceScorer
     from close_kmers_tpu.native import api as native
     from close_kmers_tpu.params import EngineParams
@@ -153,16 +157,27 @@ def bench_tpu(db, offsets, lengths):
 
 
 def bench_cpu(db, offsets, lengths):
+    """Single-core baselines: (a) the reference-architecture open-addressed
+    hash (kguts layout — this is vs_baseline), (b) our sorted two-level
+    index on CPU (stderr only)."""
     from close_kmers_tpu.native import api as native
 
+    t0 = time.time()
+    hp = native.HashPipeline(db)
+    log(f"hash table built: {hp.size_hash:,} buckets in {time.time()-t0:.1f}s")
     best = None
     for _ in range(3):  # best-of-3: the shared host is noisy
         t0 = time.time()
-        n_calls = native.pipeline_batch(db, offsets[:N_CPU], lengths[:N_CPU])
+        n_calls = hp.run(offsets[:N_CPU], lengths[:N_CPU])
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
-    log(f"CPU single-core: {N_CPU} proteins in {best:.2f}s best-of-3 "
-        f"({int(n_calls.sum())} calls)")
+    log(f"CPU single-core (reference hash layout): {N_CPU} proteins in "
+        f"{best:.2f}s best-of-3 ({int(n_calls.sum())} calls)")
+
+    t0 = time.time()
+    native.pipeline_batch(db, offsets[:N_CPU], lengths[:N_CPU])
+    log(f"CPU single-core (sorted two-level): {N_CPU} proteins in "
+        f"{time.time()-t0:.2f}s")
     return N_CPU / best
 
 

@@ -139,11 +139,16 @@ def main(argv=None):
     ap.add_argument("--shards", type=int, default=0,
                     help="range-shard the DB across this many devices "
                          "(table axis of a 1 x N mesh)")
+    ap.add_argument("--pid-file", default=None,
+                    help="write the server pid to this file (kser.cc:215-245)")
     ap.add_argument("--n-kmer-threads", type=int, default=1,
                     help="accepted for reference CLI compat; batching "
                          "replaces thread-level parallelism")
     args = ap.parse_args(argv)
 
+    if args.pid_file:
+        with open(args.pid_file, "w") as f:
+            f.write(f"{os.getpid()}\n")
     ctx = load_server_context(args.data_dir, args, args.batch_size,
                               args.shards)
     ctx.checkpoint_dir = args.checkpoint_dir

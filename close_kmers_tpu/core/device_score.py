@@ -168,14 +168,206 @@ def _scan_score(found, h_fi, h_av, h_wt, min_hits, min_weighted_hits,
     return emit, fields
 
 
+def _left_pack(valid, fields):
+    """Per-row stable compaction: emitted entries move to the left,
+    preserving order.  valid [B, M] bool; fields list of [B, M]."""
+    order = jnp.argsort(~valid, axis=1, stable=True)
+    packed = [jnp.take_along_axis(f, order, axis=1) for f in fields]
+    n = valid.sum(axis=1, dtype=jnp.int32)
+    return n, packed
+
+
+def _best_call_device(emit, c_cnt, c_fi, c_wt):
+    """find_best_call's reductions on device (kguts.cc:1008-1152):
+    collapse adjacent same-function runs, bridge-merge F1|F2|F1, ascending
+    per-function totals, and a literal replica of libstdc++
+    partial_sort(first, first+2) including its tie behavior and the
+    displaced element at index 2 (used by the ambiguous pair_offset).
+
+    Inputs [B, M] from the scoring scan.  Returns per-row
+    (n_funcs, fi0, cnt0, wt0, fi1, cnt1, wt1, cnt2) — everything the final
+    (host-side, string-dependent) decision step needs.
+    """
+    B, M = emit.shape
+    n_calls, (p_fi, p_cnt, p_wt) = _left_pack(emit, [c_fi, c_cnt, c_wt])
+    # Real sequences emit a handful of calls; trim the packed stream so
+    # the downstream scans run over CAPC steps instead of W.  Rows with
+    # more calls are flagged for a host fallback (exactness preserved).
+    CAPC = 32
+    if M > CAPC:
+        overflow = n_calls > CAPC
+        p_fi = p_fi[:, :CAPC]
+        p_cnt = p_cnt[:, :CAPC]
+        p_wt = p_wt[:, :CAPC]
+        n_calls = jnp.minimum(n_calls, CAPC)
+        M = CAPC
+    else:
+        overflow = n_calls < 0  # all-false
+    idx = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
+    valid = idx < n_calls[:, None]
+
+    zero = jnp.zeros((B,), jnp.int32)
+    zf = jnp.zeros((B,), jnp.float32)
+
+    # --- collapse adjacent same-fI (kguts.cc:1023-1040)
+    def coll_step(s, x):
+        have, cfi, ccnt, cwt = s
+        v, fi, cnt, wt = x
+        same = v & have & (fi == cfi)
+        newg = v & (~have | (fi != cfi))
+        y_emit = newg & have
+        y = (y_emit, cfi, ccnt, cwt)
+        have = have | v
+        ccnt = jnp.where(newg, cnt, jnp.where(same, ccnt + cnt, ccnt))
+        cwt = jnp.where(newg, wt, jnp.where(same, cwt + wt, cwt))
+        cfi = jnp.where(newg, fi, cfi)
+        return (have, cfi, ccnt, cwt), y
+
+    init = (valid[:, 0] & False, zero, zero, zf)
+    (have, cfi, ccnt, cwt), ys = jax.lax.scan(
+        coll_step, init, (valid.T, p_fi.T, p_cnt.T, p_wt.T))
+    coll_emit = jnp.concatenate([ys[0].T, have[:, None]], axis=1)
+    coll_fi = jnp.concatenate([ys[1].T, cfi[:, None]], axis=1)
+    coll_cnt = jnp.concatenate([ys[2].T, ccnt[:, None]], axis=1)
+    coll_wt = jnp.concatenate([ys[3].T, cwt[:, None]], axis=1)
+    n2, (q_fi, q_cnt, q_wt) = _left_pack(coll_emit,
+                                         [coll_fi, coll_cnt, coll_wt])
+    M2 = q_fi.shape[1]
+    valid2 = jax.lax.broadcasted_iota(jnp.int32, (B, M2), 1) < n2[:, None]
+
+    # --- bridge-merge (kguts.cc:1063-1086): state (cur, held interior)
+    def bridge_step(s, x):
+        have_c, fi_c, cnt_c, wt_c, have_h, fi_h, cnt_h, wt_h = s
+        v, fi, cnt, wt = x
+        # case A: no cur yet
+        a = v & ~have_c
+        # case B: cur, no held
+        b = v & have_c & ~have_h
+        # case C: cur + held; incoming plays comp2
+        c = v & have_c & have_h
+        mrg = c & (fi == fi_c) & (cnt_h < 5) & (cnt_c + cnt >= 10)
+        emit_cur = c & ~mrg
+        y = (emit_cur, fi_c, cnt_c, wt_c)
+        # merged: cur absorbs incoming; held discarded
+        n_have_c = have_c | a
+        n_fi_c = jnp.where(a, fi, jnp.where(emit_cur, fi_h, fi_c))
+        n_cnt_c = jnp.where(a, cnt, jnp.where(
+            mrg, cnt_c + cnt, jnp.where(emit_cur, cnt_h, cnt_c)))
+        n_wt_c = jnp.where(a, wt, jnp.where(
+            mrg, wt_c + wt, jnp.where(emit_cur, wt_h, wt_c)))
+        n_have_h = jnp.where(mrg, False, jnp.where(emit_cur | b, True, have_h))
+        n_fi_h = jnp.where(b | emit_cur, fi, fi_h)
+        n_cnt_h = jnp.where(b | emit_cur, cnt, cnt_h)
+        n_wt_h = jnp.where(b | emit_cur, wt, wt_h)
+        return (n_have_c, n_fi_c, n_cnt_c, n_wt_c,
+                n_have_h, n_fi_h, n_cnt_h, n_wt_h), y
+
+    initb = (valid2[:, 0] & False, zero, zero, zf,
+             valid2[:, 0] & False, zero, zero, zf)
+    sb, ysb = jax.lax.scan(bridge_step, initb,
+                           (valid2.T, q_fi.T, q_cnt.T, q_wt.T))
+    have_c, fi_c, cnt_c, wt_c, have_h, fi_h, cnt_h, wt_h = sb
+    br_emit = jnp.concatenate(
+        [ysb[0].T, have_c[:, None], have_h[:, None]], axis=1)
+    br_fi = jnp.concatenate([ysb[1].T, fi_c[:, None], fi_h[:, None]], axis=1)
+    br_cnt = jnp.concatenate([ysb[2].T, cnt_c[:, None], cnt_h[:, None]],
+                             axis=1)
+    br_wt = jnp.concatenate([ysb[3].T, wt_c[:, None], wt_h[:, None]], axis=1)
+
+    # --- per-function totals in ascending fI, f32 adds in merged order:
+    # stable sort by fI (invalid -> BIG), then run-boundary accumulation
+    BIG = jnp.int32(2 ** 30)
+    key = jnp.where(br_emit, br_fi, BIG)
+    s_fi, s_cnt, s_wt = jax.lax.sort(
+        (key, br_cnt, br_wt), dimension=1, num_keys=1, is_stable=True)
+    M3 = s_fi.shape[1]
+
+    def tot_step(s, x):
+        have, tfi, tcnt, twt = s
+        fi, cnt, wt = x
+        v = fi < BIG
+        same = v & have & (fi == tfi)
+        newg = v & (~have | (fi != tfi))
+        y_emit = newg & have
+        y = (y_emit, tfi, tcnt, twt)
+        have = have | v
+        tcnt = jnp.where(newg, cnt, jnp.where(same, tcnt + cnt, tcnt))
+        twt = jnp.where(newg, wt, jnp.where(same, twt + wt, twt))
+        tfi = jnp.where(newg, fi, tfi)
+        return (have, tfi, tcnt, twt), y
+
+    initt = (zero != 0, zero, zero, zf)
+    (have, tfi, tcnt, twt), yst = jax.lax.scan(
+        tot_step, initt, (s_fi.T, s_cnt.T, s_wt.T))
+    tot_emit = jnp.concatenate([yst[0].T, have[:, None]], axis=1)
+    tot_fi = jnp.concatenate([yst[1].T, tfi[:, None]], axis=1)
+    tot_cnt = jnp.concatenate([yst[2].T, tcnt[:, None]], axis=1)
+    tot_wt = jnp.concatenate([yst[3].T, twt[:, None]], axis=1)
+
+    # --- literal libstdc++ heap-select over the totals stream
+    # comp(a, b) := a.wt > b.wt; j counts entries seen so far.
+    def heap_step(s, x):
+        (j, h0f, h0c, h0w, h1f, h1c, h1w, v2c) = s
+        v, fi, cnt, wt = x
+        is0 = v & (j == 0)
+        is1 = v & (j == 1)
+        is2 = v & (j == 2)
+        # j == 0: stash e0 in h0
+        h0f0 = jnp.where(is0, fi, h0f)
+        h0c0 = jnp.where(is0, cnt, h0c)
+        h0w0 = jnp.where(is0, wt, h0w)
+        # j == 1: make_heap([e0, e1]): value=e0; slot0=e1;
+        # if comp(slot0, value): slot1=slot0; slot0=value else slot1=value
+        c1 = wt > h0w0  # comp(e1, e0)
+        mh0f = jnp.where(is1, jnp.where(c1, h0f0, fi), h0f0)
+        mh0c = jnp.where(is1, jnp.where(c1, h0c0, cnt), h0c0)
+        mh0w = jnp.where(is1, jnp.where(c1, h0w0, wt), h0w0)
+        mh1f = jnp.where(is1, jnp.where(c1, fi, h0f0), h1f)
+        mh1c = jnp.where(is1, jnp.where(c1, cnt, h0c0), h1c)
+        mh1w = jnp.where(is1, jnp.where(c1, wt, h0w0), h1w)
+        # j >= 2: if comp(e, h0): pop_push — vec[j] = old h0; then
+        # value=e: slot0=slot1; if comp(slot0, value): slot1=slot0,
+        # slot0=value else slot1=value
+        ge2 = v & (j >= 2)
+        cin = ge2 & (wt > mh0w)
+        # vec[2] records at j == 2: displaced value = old h0 if swapped
+        # else the entry itself
+        v2c = jnp.where(is2, jnp.where(wt > mh0w, mh0c, cnt), v2c)
+        # pop_push: slot0 <- old slot1; if comp(slot0, value):
+        # slot1 <- slot0, slot0 <- value else slot1 <- value
+        c2 = mh1w > wt  # comp(old h1, value)
+        fh0f = jnp.where(cin, jnp.where(c2, fi, mh1f), mh0f)
+        fh0c = jnp.where(cin, jnp.where(c2, cnt, mh1c), mh0c)
+        fh0w = jnp.where(cin, jnp.where(c2, wt, mh1w), mh0w)
+        fh1f = jnp.where(cin, jnp.where(c2, mh1f, fi), mh1f)
+        fh1c = jnp.where(cin, jnp.where(c2, mh1c, cnt), mh1c)
+        fh1w = jnp.where(cin, jnp.where(c2, mh1w, wt), mh1w)
+        j = j + v.astype(jnp.int32)
+        return (j, fh0f, fh0c, fh0w, fh1f, fh1c, fh1w, v2c), None
+
+    inith = (zero, zero, zero, zf, zero, zero, zf, zero)
+    sh, _ = jax.lax.scan(heap_step, inith,
+                         (tot_emit.T, tot_fi.T, tot_cnt.T, tot_wt.T))
+    n_funcs, h0f, h0c, h0w, h1f, h1c, h1w, v2c = sh
+    # sort_heap swap: vec0 = slot1, vec1 = slot0 (when n >= 2);
+    # n == 1: vec0 = the single stashed entry (slot0)
+    one = n_funcs == 1
+    fi0 = jnp.where(one, h0f, h1f)
+    cnt0 = jnp.where(one, h0c, h1c)
+    wt0 = jnp.where(one, h0w, h1w)
+    fi1, cnt1, wt1 = h0f, h0c, h0w
+    return (n_funcs, fi0, cnt0, wt0, fi1, cnt1, wt1, v2c, overflow)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("min_hits", "min_weighted_hits", "max_gap",
-                     "order_constraint", "call_cap"))
-def _probe_score_jit(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
-                     n, n_steps, offsets, lengths,
-                     min_hits, min_weighted_hits, max_gap, order_constraint,
-                     call_cap):
+                     "order_constraint"))
+def _probe_best_jit(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
+                    n, n_steps, offsets, lengths,
+                    min_hits, min_weighted_hits, max_gap, order_constraint):
+    """Fused probe + scan scoring + device find_best_call reductions.
+    Output: one packed int32 buffer [B, 8] (wt fields bitcast)."""
     ddb = DeviceDB(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
                    n_steps, n)
     hi, lo, valid = encode_windows(offsets, lengths)
@@ -183,6 +375,36 @@ def _probe_score_jit(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
     emit, (c_start, c_end, c_cnt, c_fi, c_wt) = _scan_score(
         found, p_fi, p_av, p_wt, min_hits, min_weighted_hits, max_gap,
         order_constraint)
+    (n_funcs, fi0, cnt0, wt0, fi1, cnt1, wt1, v2c, ovf) = _best_call_device(
+        emit, c_cnt, c_fi, c_wt)
+    bc = jax.lax.bitcast_convert_type
+    out = jnp.stack([n_funcs, fi0, cnt0, bc(wt0, jnp.int32),
+                     fi1, cnt1, bc(wt1, jnp.int32), v2c,
+                     ovf.astype(jnp.int32)], axis=1)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_hits", "min_weighted_hits", "max_gap",
+                     "order_constraint", "call_cap", "use_pallas"))
+def _probe_score_jit(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
+                     n, n_steps, offsets, lengths,
+                     min_hits, min_weighted_hits, max_gap, order_constraint,
+                     call_cap, use_pallas=False):
+    ddb = DeviceDB(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
+                   n_steps, n)
+    hi, lo, valid = encode_windows(offsets, lengths)
+    found, p_fi, p_oi, p_av, p_wt = probe_windows(ddb, hi, lo, valid)
+    if use_pallas:
+        from ..ops.pallas_scan import scan_score_pallas
+        emit, (c_start, c_end, c_cnt, c_fi, c_wt) = scan_score_pallas(
+            found, p_fi, p_av, p_wt, min_hits, min_weighted_hits, max_gap,
+            order_constraint)
+    else:
+        emit, (c_start, c_end, c_cnt, c_fi, c_wt) = _scan_score(
+            found, p_fi, p_av, p_wt, min_hits, min_weighted_hits, max_gap,
+            order_constraint)
 
     B, W1 = emit.shape
     n_calls = emit.sum(axis=1, dtype=jnp.int32)
@@ -206,11 +428,20 @@ def _probe_score_jit(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
 
 class DeviceScorer:
     """Fused probe+score engine: uploads a padded batch, downloads only the
-    packed compact call lists."""
+    packed compact call lists.
 
-    def __init__(self, db, device=None):
+    ``use_pallas`` (or env CLOSE_KMERS_PALLAS_SCAN=1) runs the scoring
+    state machine as the single Pallas kernel (ops/pallas_scan.py) instead
+    of the XLA lax.scan — one kernel launch instead of W fused dispatches.
+    Requires the batch size to be a multiple of pallas_scan.TB."""
+
+    def __init__(self, db, device=None, use_pallas=None):
+        import os
         self.db = db
         self.ddb = DeviceDB.from_db(db, device=device)
+        if use_pallas is None:
+            use_pallas = os.environ.get("CLOSE_KMERS_PALLAS_SCAN") == "1"
+        self.use_pallas = use_pallas
 
     def score_batch(self, offsets: np.ndarray, lengths: np.ndarray,
                     params: EngineParams | None = None,
@@ -228,7 +459,7 @@ class DeviceScorer:
             d.bucket_start, d.lo, d.fi, d.oi, d.avg_off, d.wt, d.n,
             d.n_steps, jnp.asarray(offsets), jnp.asarray(lengths),
             params.min_hits, params.min_weighted_hits, params.max_gap,
-            params.order_constraint, cap)
+            params.order_constraint, cap, self.use_pallas)
         out = np.asarray(out)
         n_calls = out[:B]
         pack = out[B:].reshape(5, cap)
@@ -271,6 +502,41 @@ class DeviceScorer:
         cs, ce, cc, cf, cw_bits = dense
         return n_calls, cs, ce, cc, cf, cw_bits.view(np.float32)
 
+    def best_batch_packed(self, offsets, lengths,
+                          params: EngineParams | None = None):
+        """Fully-fused best-call path: probe + scan + device
+        find_best_call reductions.  Returns the un-transferred [B, 8]
+        int32 device buffer (pipeline-friendly): columns are
+        n_funcs, fi0, cnt0, wt0(bits), fi1, cnt1, wt1(bits), vec2_cnt."""
+        params = params or EngineParams()
+        d = self.ddb
+        return _probe_best_jit(
+            d.bucket_start, d.lo, d.fi, d.oi, d.avg_off, d.wt, d.n,
+            d.n_steps, jnp.asarray(offsets), jnp.asarray(lengths),
+            params.min_hits, params.min_weighted_hits, params.max_gap,
+            params.order_constraint)
+
+    @staticmethod
+    def finish_best_batch(out_np: np.ndarray, function_of):
+        """Host decision step over the device reductions; returns
+        oracle.BestCall per row (exact, including the lexicographic
+        ambiguous-pair naming)."""
+        from .engine import finish_best_call
+        if out_np.shape[1] > 8 and out_np[:, 8].any():
+            raise OverflowError(
+                "rows exceeded the device call-stream cap; use the "
+                "score_batch path for these sequences")
+        res = []
+        wt_bits = out_np[:, [3, 6]].copy().view(np.float32)
+        for r in range(out_np.shape[0]):
+            nf = int(out_np[r, 0])
+            fi3 = (int(out_np[r, 1]), int(out_np[r, 4]), 0)
+            cnt3 = (int(out_np[r, 2]), int(out_np[r, 5]), int(out_np[r, 7]))
+            wt3 = (np.float32(wt_bits[r, 0]), np.float32(wt_bits[r, 1]),
+                   np.float32(0.0))
+            res.append(finish_best_call(nf, fi3, cnt3, wt3, function_of))
+        return res
+
     def score_batch_packed(self, offsets, lengths,
                            params: EngineParams | None = None,
                            calls_per_seq_cap: int = 4):
@@ -283,5 +549,5 @@ class DeviceScorer:
             d.bucket_start, d.lo, d.fi, d.oi, d.avg_off, d.wt, d.n,
             d.n_steps, jnp.asarray(offsets), jnp.asarray(lengths),
             params.min_hits, params.min_weighted_hits, params.max_gap,
-            params.order_constraint, cap)
+            params.order_constraint, cap, self.use_pallas)
         return out, cap

@@ -112,6 +112,46 @@ def family_scores(codes, row_off, keys, offs, vals):
         cap *= 4
 
 
+_PRIMES = [3769, 6337, 12791, 24571, 51043, 101533, 206933, 400187,
+           821999, 2000003, 4000037, 8000009, 16000057, 32000011,
+           64000031, 128000003, 248000009, 508000037, 1073741824,
+           1400303159, 2147483648]
+
+
+class HashPipeline:
+    """Reference-architecture CPU baseline: kguts-style open-addressed
+    hash (24B entries, linear probing, first prime > 3n buckets)."""
+
+    def __init__(self, db):
+        l = lib()
+        l.ck_hash_build.restype = C.c_void_p
+        n = len(db.keys)
+        self.size_hash = next(p for p in _PRIMES if p > 3 * n)
+        self._tab = l.ck_hash_build(
+            _p(_i64(db.keys), C.c_int64), _p(_i32(db.fi), C.c_int32),
+            _p(_i32(db.oi), C.c_int32), _p(_i32(db.avg_off), C.c_int32),
+            _p(_f32(db.wt), C.c_float), C.c_int64(n),
+            C.c_int64(self.size_hash))
+
+    def run(self, offsets, lengths, min_hits=5, max_gap=200):
+        offsets = np.ascontiguousarray(offsets, dtype=np.uint8)
+        lengths = _i32(lengths)
+        n_seqs, stride = offsets.shape
+        out = np.zeros(n_seqs, dtype=np.int32)
+        lib().ck_pipeline_hash(
+            C.c_void_p(self._tab), C.c_int64(self.size_hash),
+            _p(offsets, C.c_uint8), _p(lengths, C.c_int32),
+            C.c_int(n_seqs), C.c_int(stride),
+            C.c_int32(min_hits), C.c_int32(max_gap), _p(out, C.c_int32))
+        return out
+
+    def __del__(self):
+        try:
+            lib().ck_hash_free(C.c_void_p(self._tab))
+        except Exception:
+            pass
+
+
 def pipeline_batch(db, offsets, lengths, min_hits=5, max_gap=200):
     """Single-core encode+probe+score over a padded uint8 batch, using the
     same two-level index layout as the TPU kernel.  Returns per-seq call

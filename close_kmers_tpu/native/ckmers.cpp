@@ -387,6 +387,106 @@ int ck_probe_seq(const int32_t* bucket_start, const int32_t* lo_arr,
     return n;
 }
 
+// ---------------------------------------------------------------------------
+// Reference-architecture baseline: the open-addressed linear-probe hash
+// exactly as kguts uses it — 24-byte sig_kmer_t entries keyed by
+// encodedK % size_hash with +1 wraparound probing (kguts.cc:585-602,
+// kmer_image.h:17-23), table sized to the first prime > 3*n
+// (build_signature_kmers.cc:862-884).  This is what a faithful port of
+// the reference would run per CPU core; bench.py uses it as vs_baseline.
+// ---------------------------------------------------------------------------
+
+struct SigKmer {
+    uint64_t which_kmer;
+    int32_t otu_index;
+    uint16_t avg_from_end;
+    int32_t function_index;
+    float function_wt;
+} __attribute__((packed, aligned(8)));
+
+static const uint64_t kMaxEncoded = 25600000000ULL;  // 20^8
+
+// Build the hash image from sorted arrays; returns malloc'd table.
+void* ck_hash_build(const int64_t* keys, const int32_t* fi,
+                    const int32_t* oi, const int32_t* off, const float* wt,
+                    int64_t n, int64_t size_hash) {
+    SigKmer* tab = (SigKmer*)malloc(sizeof(SigKmer) * size_hash);
+    for (int64_t i = 0; i < size_hash; i++)
+        tab[i].which_kmer = kMaxEncoded + 1;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t h = keys[i] % size_hash;
+        while (tab[h].which_kmer <= kMaxEncoded) h = (h + 1) % size_hash;
+        tab[h].which_kmer = (uint64_t)keys[i];
+        tab[h].otu_index = oi[i];
+        tab[h].avg_from_end = (uint16_t)off[i];
+        tab[h].function_index = fi[i];
+        tab[h].function_wt = wt[i];
+    }
+    return tab;
+}
+
+void ck_hash_free(void* tab) { free(tab); }
+
+static inline int64_t hash_lookup(const SigKmer* tab, int64_t size_hash,
+                                  uint64_t encodedK) {
+    int64_t h = encodedK % size_hash;
+    while (tab[h].which_kmer != encodedK && tab[h].which_kmer <= kMaxEncoded)
+        h = (h + 1) % size_hash;
+    return tab[h].which_kmer > kMaxEncoded ? -1 : h;
+}
+
+// Single-core pipeline over a padded batch using the reference hash
+// layout: rolling-window encode + linear-probe lookup + scoring.
+void ck_pipeline_hash(const void* tab_v, int64_t size_hash,
+                      const uint8_t* seqs, const int32_t* lens,
+                      int n_seqs, int stride,
+                      int32_t min_hits, int32_t max_gap,
+                      int32_t* n_calls_out) {
+    const SigKmer* tab = (const SigKmer*)tab_v;
+    std::vector<Hit> hits;
+    hits.reserve(4096);
+    std::vector<int32_t> cs(256), ce(256), cc(256), cf(256);
+    std::vector<float> cw(256);
+    ScoreParams p{0, min_hits, 0, max_gap, 39998};
+    for (int s = 0; s < n_seqs; s++) {
+        const uint8_t* pI = seqs + (int64_t)s * stride;
+        int len = lens[s];
+        int bound = len - 8;
+        hits.clear();
+        int ppos = 0;
+        while (ppos < bound) {
+            bool ok = true;
+            for (int j = 7; j >= 0; j--)
+                if (pI[ppos + j] >= 20) { ppos += j + 1; ok = false; break; }
+            if (!ok) continue;
+            uint64_t enc = pI[ppos];
+            for (int j = 1; j < 8; j++) enc = enc * 20 + pI[ppos + j];
+            // rolling scan like gather_hits (kguts.cc:798-871)
+            while (ppos < bound) {
+                int64_t where = hash_lookup(tab, size_hash, enc);
+                if (where >= 0 && (int)hits.size() < 4096) {
+                    hits.push_back(Hit{ppos, tab[where].function_index,
+                                       tab[where].otu_index,
+                                       (int32_t)tab[where].avg_from_end,
+                                       tab[where].function_wt});
+                }
+                ppos++;
+                if (ppos < bound) {
+                    if (pI[ppos + 7] < 20) {
+                        enc = (enc % 1280000000ULL) * 20 + pI[ppos + 7];
+                    } else {
+                        ppos += 8;
+                        break;  // rescan validity from the top
+                    }
+                }
+            }
+        }
+        n_calls_out[s] = score_one(hits.data(), (int)hits.size(), p,
+                                   cs.data(), ce.data(), cc.data(),
+                                   cf.data(), cw.data(), 256, nullptr);
+    }
+}
+
 // Full single-core pipeline over a padded batch: probe + score, returning
 // per-seq call counts only (throughput measurement).  Used by bench.py as
 // the single-CPU-core baseline.

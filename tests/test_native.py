@@ -113,3 +113,15 @@ def test_native_pipeline_batch_smoke(corpus):
     # must agree with the device+native path
     _, n_calls2, _, _ = fa.annotate(seqs, EngineParams(min_hits=2))
     assert n_calls.tolist() == n_calls2.tolist()
+
+
+def test_hash_pipeline_matches_sorted(corpus):
+    """The reference-architecture open-addressed hash baseline produces
+    identical calls to the sorted-index pipeline and the device path."""
+    db, seqs = corpus
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    sorted_calls = native.pipeline_batch(db, offsets, lengths, min_hits=2)
+    hp = native.HashPipeline(db)
+    hash_calls = hp.run(offsets, lengths, min_hits=2)
+    assert sorted_calls.tolist() == hash_calls.tolist()
