@@ -77,7 +77,8 @@ def build_corpus(rng):
 
     # queries: slices of source proteins (dense-hit regime)
     qi = rng.integers(0, N_SRC, size=N_QUERY)
-    offsets = np.full((N_QUERY, PROT_LEN + 8), 20, dtype=np.uint8)
+    width = -(-(PROT_LEN + 8) // 8) * 8   # multiple of 8 for 5-bit packing
+    offsets = np.full((N_QUERY, width), 20, dtype=np.uint8)
     offsets[:, :PROT_LEN] = off[qi]
     lengths = np.full(N_QUERY, PROT_LEN, dtype=np.int32)
     return db, offsets, lengths
@@ -108,9 +109,13 @@ def bench_tpu(db, offsets, lengths):
     import jax.numpy as jnp
     GROUP = int(os.environ.get("BENCH_GROUP", 4))
 
+    from close_kmers_tpu.core.engine import pack_offsets
+    L = offsets.shape[1]
+
     # warmup/compile
     t0 = time.time()
-    out, cap = ds.score_batch_packed(offsets[:BATCH], lengths[:BATCH], params)
+    out, cap = ds.score_batch_packed(pack_offsets(offsets[:BATCH]),
+                                     lengths[:BATCH], params, packed_L=L)
     host_side(np.asarray(out), BATCH, cap)
     jax.block_until_ready(jnp.concatenate([out, out]))
     log(f"warmup+compile {time.time()-t0:.1f}s")
@@ -137,7 +142,8 @@ def bench_tpu(db, offsets, lengths):
         b = min(a + BATCH, N_QUERY)
         if b - a < BATCH:
             break
-        out, cap = ds.score_batch_packed(offsets[a:b], lengths[a:b], params)
+        out, cap = ds.score_batch_packed(pack_offsets(offsets[a:b]),
+                                         lengths[a:b], params, packed_L=L)
         pending.append((out, b - a, cap))
         if len(pending) >= GROUP:
             if ready is not None:

@@ -68,32 +68,13 @@ class DeviceFamilyDB:
 
 
 @functools.partial(jax.jit, static_argnames=("capf",))
-def _family_rollup_jit(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
+def _family_rollup_jit(bucket_pair, lo_arr, payload,
                        n, n_steps, fam_tab, inv_deg, offsets, lengths, capf):
-    ddb = DeviceDB(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
-                   n_steps, n)
+    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n)
     hi, lo, valid = encode_windows(offsets, lengths)
-    hi_c = jnp.where(valid, hi, 0)
-    lo_c = jnp.where(valid, lo, -2)
-    left = bucket_start[hi_c]
-    right = bucket_start[hi_c + 1]
-    end = right
-
-    def search_step(_, lr):
-        l, r = lr
-        cont = l < r
-        mid = (l + r) >> 1
-        v = lo_arr[jnp.minimum(mid, n)]
-        go_right = cont & (v < lo_c)
-        return (jnp.where(go_right, mid + 1, l),
-                jnp.where(cont & ~go_right, mid, r))
-
-    left, right = jax.lax.fori_loop(0, n_steps, search_step, (left, right))
-    idx = jnp.minimum(left, n)
-    found = valid & (left < end) & (lo_arr[idx] == lo_c)
+    found, _fi, _oi, _av, _wt, idx = probe_windows(ddb, hi, lo, valid)
 
     B, W = hi.shape
-    idx = jnp.where(found, idx, n)           # padded row: fam=-1, inv=0
     fams = fam_tab[idx]                      # [B, W, D]
     D = fams.shape[-1]
     w = inv_deg[idx]                         # [B, W]
@@ -144,7 +125,7 @@ class DeviceFamilyScorer:
         capf = B * fams_per_seq_cap
         d = self.ddb
         run_b, run_f, counts, weights, n_runs, per_seq = _family_rollup_jit(
-            d.bucket_start, d.lo, d.fi, d.oi, d.avg_off, d.wt, d.n,
+            d.bucket_pair, d.lo, d.payload, d.n,
             d.n_steps, self.fdb.fam, self.fdb.inv_deg,
             jnp.asarray(offsets), jnp.asarray(lengths), capf)
         n_runs = int(n_runs)

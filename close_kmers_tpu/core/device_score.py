@@ -363,15 +363,15 @@ def _best_call_device(emit, c_cnt, c_fi, c_wt):
     jax.jit,
     static_argnames=("min_hits", "min_weighted_hits", "max_gap",
                      "order_constraint"))
-def _probe_best_jit(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
+def _probe_best_jit(bucket_pair, lo_arr, payload,
                     n, n_steps, offsets, lengths,
                     min_hits, min_weighted_hits, max_gap, order_constraint):
     """Fused probe + scan scoring + device find_best_call reductions.
-    Output: one packed int32 buffer [B, 8] (wt fields bitcast)."""
-    ddb = DeviceDB(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
-                   n_steps, n)
+    Output: one packed int32 buffer [B, 9] (wt fields bitcast; col 8 =
+    overflow flag -> row needs the host fallback path)."""
+    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n)
     hi, lo, valid = encode_windows(offsets, lengths)
-    found, p_fi, p_oi, p_av, p_wt = probe_windows(ddb, hi, lo, valid)
+    found, p_fi, p_oi, p_av, p_wt, _ = probe_windows(ddb, hi, lo, valid)
     emit, (c_start, c_end, c_cnt, c_fi, c_wt) = _scan_score(
         found, p_fi, p_av, p_wt, min_hits, min_weighted_hits, max_gap,
         order_constraint)
@@ -387,15 +387,17 @@ def _probe_best_jit(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
 @functools.partial(
     jax.jit,
     static_argnames=("min_hits", "min_weighted_hits", "max_gap",
-                     "order_constraint", "call_cap", "use_pallas"))
-def _probe_score_jit(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
+                     "order_constraint", "call_cap", "use_pallas", "L"))
+def _probe_score_jit(bucket_pair, lo_arr, payload,
                      n, n_steps, offsets, lengths,
                      min_hits, min_weighted_hits, max_gap, order_constraint,
-                     call_cap, use_pallas=False):
-    ddb = DeviceDB(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
-                   n_steps, n)
+                     call_cap, use_pallas=False, L=0):
+    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n)
+    if L:  # offsets arrive 5-bit packed (engine.pack_offsets)
+        from .engine import unpack_offsets
+        offsets = unpack_offsets(offsets, L)
     hi, lo, valid = encode_windows(offsets, lengths)
-    found, p_fi, p_oi, p_av, p_wt = probe_windows(ddb, hi, lo, valid)
+    found, p_fi, p_oi, p_av, p_wt, _ = probe_windows(ddb, hi, lo, valid)
     if use_pallas:
         from ..ops.pallas_scan import scan_score_pallas
         emit, (c_start, c_end, c_cnt, c_fi, c_wt) = scan_score_pallas(
@@ -456,7 +458,7 @@ class DeviceScorer:
         B = offsets.shape[0]
         cap = B * calls_per_seq_cap
         out, _ = _probe_score_jit(
-            d.bucket_start, d.lo, d.fi, d.oi, d.avg_off, d.wt, d.n,
+            d.bucket_pair, d.lo, d.payload, d.n,
             d.n_steps, jnp.asarray(offsets), jnp.asarray(lengths),
             params.min_hits, params.min_weighted_hits, params.max_gap,
             params.order_constraint, cap, self.use_pallas)
@@ -511,7 +513,7 @@ class DeviceScorer:
         params = params or EngineParams()
         d = self.ddb
         return _probe_best_jit(
-            d.bucket_start, d.lo, d.fi, d.oi, d.avg_off, d.wt, d.n,
+            d.bucket_pair, d.lo, d.payload, d.n,
             d.n_steps, jnp.asarray(offsets), jnp.asarray(lengths),
             params.min_hits, params.min_weighted_hits, params.max_gap,
             params.order_constraint)
@@ -539,15 +541,18 @@ class DeviceScorer:
 
     def score_batch_packed(self, offsets, lengths,
                            params: EngineParams | None = None,
-                           calls_per_seq_cap: int = 4):
+                           calls_per_seq_cap: int = 4,
+                           packed_L: int = 0):
         """Async-friendly variant: returns the device array (not yet
-        transferred) so callers can pipeline dispatch and readback."""
+        transferred) so callers can pipeline dispatch and readback.
+        If ``packed_L`` is nonzero, ``offsets`` is 5-bit packed
+        (engine.pack_offsets) and unpacks to [B, packed_L] on device."""
         params = params or EngineParams()
         d = self.ddb
         cap = offsets.shape[0] * calls_per_seq_cap
         out, _ = _probe_score_jit(
-            d.bucket_start, d.lo, d.fi, d.oi, d.avg_off, d.wt, d.n,
+            d.bucket_pair, d.lo, d.payload, d.n,
             d.n_steps, jnp.asarray(offsets), jnp.asarray(lengths),
             params.min_hits, params.min_weighted_hits, params.max_gap,
-            params.order_constraint, cap, self.use_pallas)
+            params.order_constraint, cap, self.use_pallas, packed_L)
         return out, cap

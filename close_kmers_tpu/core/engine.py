@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..params import K, EngineParams
+from ..params import K, LO_CARD, EngineParams
 from ..ops.encoder import seq_to_offsets
 from ..db.signature_db import SignatureDB
 from . import oracle as O
@@ -46,17 +46,17 @@ from . import oracle as O
 class DeviceDB:
     """Signature DB resident on device (single-chip form).
 
-    ``n_steps`` is the static binary-search depth = ceil(log2(max bucket
-    size + 1)); it is part of the jit cache key, so probing recompiles
-    only when a new DB has a deeper bucket.
+    Layout tuned for gather-OP count (each gather op costs ~20-30 ms at
+    batch scale on v5e regardless of width — see PERF.md): bucket bounds
+    live as [HI_CARD, 2] rows (one gather instead of two), the payload is
+    interleaved as [N+1, 4] int32 rows (fi, oi, avg_off, wt-bits — one
+    gather instead of four), and HI_DIGITS=5 keeps buckets tiny so the
+    in-bucket lower-bound search needs only ~n_steps=5 lo gathers.
     """
 
-    bucket_start: jax.Array  # i32[HI_CARD+1]
-    lo: jax.Array            # i32[N]
-    fi: jax.Array            # i32[N]
-    oi: jax.Array            # i32[N]
-    avg_off: jax.Array       # i32[N]
-    wt: jax.Array            # f32[N]
+    bucket_pair: jax.Array   # i32[HI_CARD, 2] = (start, end)
+    lo: jax.Array            # i32[N+1]
+    payload: jax.Array       # i32[N+1, 4] = fi, oi, avg_off, wt-bits
     n_steps: int
     n: int
 
@@ -64,18 +64,22 @@ class DeviceDB:
     def from_db(cls, db: SignatureDB, device=None) -> "DeviceDB":
         put = functools.partial(jax.device_put, device=device)
         n_steps = max(1, math.ceil(math.log2(db.max_bucket + 1))) if len(db) else 1
-        # Pad payload arrays by one row so clipped gathers at index N stay
-        # in bounds.
-        pad = lambda a, v: np.concatenate([a, np.array([v], dtype=a.dtype)])
+        n = len(db)
+        pair = np.stack([db.bucket_start[:-1], db.bucket_start[1:]],
+                        axis=1).astype(np.int32)
+        lo = np.concatenate([db.lo, np.array([-1], np.int32)])
+        payload = np.zeros((n + 1, 4), dtype=np.int32)
+        payload[:n, 0] = db.fi
+        payload[:n, 1] = db.oi
+        payload[:n, 2] = db.avg_off
+        payload[:n, 3] = db.wt.view(np.int32)
+        payload[n] = (-1, -1, 0, 0)
         return cls(
-            bucket_start=put(jnp.asarray(db.bucket_start)),
-            lo=put(jnp.asarray(pad(db.lo, np.int32(-1)))),
-            fi=put(jnp.asarray(pad(db.fi, np.int32(-1)))),
-            oi=put(jnp.asarray(pad(db.oi, np.int32(-1)))),
-            avg_off=put(jnp.asarray(pad(db.avg_off, np.int32(0)))),
-            wt=put(jnp.asarray(pad(db.wt, np.float32(0.0)))),
+            bucket_pair=put(jnp.asarray(pair)),
+            lo=put(jnp.asarray(lo)),
+            payload=put(jnp.asarray(payload)),
             n_steps=n_steps,
-            n=len(db),
+            n=n,
         )
 
 
@@ -91,13 +95,15 @@ def encode_windows(offsets: jax.Array, lengths: jax.Array):
     W = L - K
     if W <= 0:
         raise ValueError(f"padded length {L} must exceed {K}")
+    from ..params import HI_DIGITS, LO_DIGITS
     off = offsets.astype(jnp.int32)
     hi = jnp.zeros((B, W), jnp.int32)
     lo = jnp.zeros((B, W), jnp.int32)
     ok = jnp.ones((B, W), jnp.bool_)
-    for j in range(K // 2):
+    for j in range(HI_DIGITS):
         hi = hi * 20 + off[:, j:j + W]
-        lo = lo * 20 + off[:, K // 2 + j:K // 2 + j + W]
+    for j in range(LO_DIGITS):
+        lo = lo * 20 + off[:, HI_DIGITS + j:HI_DIGITS + j + W]
     for j in range(K):
         ok = ok & (off[:, j:j + W] < 20)
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
@@ -105,9 +111,49 @@ def encode_windows(offsets: jax.Array, lengths: jax.Array):
     return hi, lo, ok
 
 
+def pack_offsets(offsets: np.ndarray) -> np.ndarray:
+    """Host-side 5-bit packing of aa offsets (values 0..20): 8 residues
+    per 5 bytes, cutting upload bytes 37%.  Length must be a multiple
+    of 8 (pad with 20)."""
+    B, L = offsets.shape
+    if L % 8:
+        pad = 8 - L % 8
+        offsets = np.concatenate(
+            [offsets, np.full((B, pad), 20, np.uint8)], axis=1)
+        L += pad
+    g = offsets.reshape(B, L // 8, 8).astype(np.uint64)
+    v = np.zeros((B, L // 8), dtype=np.uint64)
+    for i in range(8):
+        v |= g[:, :, i] << np.uint64(5 * i)
+    out = np.empty((B, L // 8, 5), dtype=np.uint8)
+    for j in range(5):
+        out[:, :, j] = (v >> np.uint64(8 * j)).astype(np.uint8)
+    return out.reshape(B, -1)
+
+
+def unpack_offsets(packed, L: int):
+    """Device-side inverse of pack_offsets: [B, (L/8)*5] u8 -> [B, L] u8
+    (pure vector bit ops)."""
+    B = packed.shape[0]
+    G = L // 8
+    b = packed.reshape(B, G, 5).astype(jnp.int32)
+    b0, b1, b2, b3, b4 = (b[:, :, j] for j in range(5))
+    a = [
+        b0 & 31,
+        ((b0 >> 5) | (b1 << 3)) & 31,
+        (b1 >> 2) & 31,
+        ((b1 >> 7) | (b2 << 1)) & 31,
+        ((b2 >> 4) | (b3 << 4)) & 31,
+        (b3 >> 1) & 31,
+        ((b3 >> 6) | (b4 << 2)) & 31,
+        (b4 >> 3) & 31,
+    ]
+    return jnp.stack(a, axis=-1).reshape(B, L).astype(jnp.uint8)
+
+
 def probe_windows(ddb: DeviceDB, hi, lo, valid):
-    """Batched two-level probe.  Returns (found, fi, oi, avg_off, wt),
-    all shaped like ``hi``.
+    """Batched two-level probe.  Returns (found, fi, oi, avg_off, wt,
+    idx), all shaped like ``hi`` (idx = matched DB row, ddb.n if none).
 
     Semantics: found[b,i] iff the signature DB contains the kmer encoded
     by window (hi,lo)[b,i] — equivalent to lookup_hash_entry >= 0
@@ -115,8 +161,9 @@ def probe_windows(ddb: DeviceDB, hi, lo, valid):
     """
     hi_c = jnp.where(valid, hi, 0)
     lo_c = jnp.where(valid, lo, -2)
-    left = ddb.bucket_start[hi_c]
-    right = ddb.bucket_start[hi_c + 1]
+    pair = ddb.bucket_pair[hi_c]
+    left = pair[..., 0]
+    right = pair[..., 1]
     end = right
     # Branchless lower_bound: after n_steps halvings left==right==insertion
     # point of lo_c in ddb.lo[left:end).  fori_loop keeps the HLO small
@@ -134,16 +181,18 @@ def probe_windows(ddb: DeviceDB, hi, lo, valid):
                                     (left, right), unroll=False)
     idx = jnp.minimum(left, ddb.n)
     found = valid & (left < end) & (ddb.lo[idx] == lo_c)
-    return (found, ddb.fi[idx], ddb.oi[idx], ddb.avg_off[idx], ddb.wt[idx])
+    idx = jnp.where(found, idx, ddb.n)
+    row = ddb.payload[idx]
+    wt = jax.lax.bitcast_convert_type(row[..., 3], jnp.float32)
+    return (found, row[..., 0], row[..., 1], row[..., 2], wt, idx)
 
 
 @jax.jit
-def _probe_batch_jit(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
-                     n, n_steps, offsets, lengths):
-    ddb = DeviceDB(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
-                   n_steps, n)
+def _probe_batch_jit(bucket_pair, lo_arr, payload, n, n_steps,
+                     offsets, lengths):
+    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n)
     hi, lo, valid = encode_windows(offsets, lengths)
-    return probe_windows(ddb, hi, lo, valid)
+    return probe_windows(ddb, hi, lo, valid)[:5]
 
 
 class TpuEngine:
@@ -165,8 +214,7 @@ class TpuEngine:
         """Run stages 1+2 on a padded uint8 batch; returns numpy arrays
         (found, fi, oi, avg_off, wt) of shape [B, L-K]."""
         d = self.ddb
-        out = _probe_batch_jit(d.bucket_start, d.lo, d.fi, d.oi, d.avg_off,
-                               d.wt, d.n, d.n_steps,
+        out = _probe_batch_jit(d.bucket_pair, d.lo, d.payload, d.n, d.n_steps,
                                jnp.asarray(offsets), jnp.asarray(lengths))
         return tuple(np.asarray(x) for x in out)
 
@@ -251,13 +299,13 @@ class FastAnnotator:
         code) plus row_off delimiters."""
         d = self.ddb
         found, fi, oi, avg_off, wt, hi, lo = _probe_batch_full_jit(
-            d.bucket_start, d.lo, d.fi, d.oi, d.avg_off, d.wt, d.n, d.n_steps,
+            d.bucket_pair, d.lo, d.payload, d.n, d.n_steps,
             jnp.asarray(offsets), jnp.asarray(lengths))
         found = np.asarray(found)
         rows, cols = np.nonzero(found)
         row_off = np.zeros(len(lengths) + 1, dtype=np.int64)
         np.cumsum(np.bincount(rows, minlength=len(lengths)), out=row_off[1:])
-        code = (np.asarray(hi)[rows, cols].astype(np.int64) * 160000
+        code = (np.asarray(hi)[rows, cols].astype(np.int64) * LO_CARD
                 + np.asarray(lo)[rows, cols].astype(np.int64))
         return dict(
             pos=cols.astype(np.int32),
@@ -327,14 +375,13 @@ def finish_best_call(n_funcs: int, fi3, cnt3, wt3, function_of) -> O.BestCall:
 
 
 @jax.jit
-def _probe_batch_full_jit(bucket_start, lo_arr, fi_arr, oi_arr, off_arr,
-                          wt_arr, n, n_steps, offsets, lengths):
+def _probe_batch_full_jit(bucket_pair, lo_arr, payload, n, n_steps,
+                          offsets, lengths):
     """Like _probe_batch_jit but also returns the window hi/lo codes for
     host-side code reconstruction."""
-    ddb = DeviceDB(bucket_start, lo_arr, fi_arr, oi_arr, off_arr, wt_arr,
-                   n_steps, n)
+    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n)
     hi, lo, valid = encode_windows(offsets, lengths)
-    found, fi, oi, avg_off, wt = probe_windows(ddb, hi, lo, valid)
+    found, fi, oi, avg_off, wt, idx = probe_windows(ddb, hi, lo, valid)
     return found, fi, oi, avg_off, wt, hi, lo
 
 

@@ -370,8 +370,10 @@ int ck_probe_seq(const int32_t* bucket_start, const int32_t* lo_arr,
             if (pI[p + j] >= 20) { p += j + 1; ok = false; break; }
         }
         if (!ok) continue;
-        int32_t hi = ((pI[p] * 20 + pI[p + 1]) * 20 + pI[p + 2]) * 20 + pI[p + 3];
-        int32_t lo = ((pI[p + 4] * 20 + pI[p + 5]) * 20 + pI[p + 6]) * 20 + pI[p + 7];
+        // hi/lo split must match params.HI_DIGITS (5/3)
+        int32_t hi = (((pI[p] * 20 + pI[p + 1]) * 20 + pI[p + 2]) * 20
+                      + pI[p + 3]) * 20 + pI[p + 4];
+        int32_t lo = (pI[p + 5] * 20 + pI[p + 6]) * 20 + pI[p + 7];
         int64_t where = probe_one(bucket_start, lo_arr, hi, lo);
         if (where >= 0 && n < max_hits) {
             hit_pos[n] = p;
@@ -379,7 +381,7 @@ int ck_probe_seq(const int32_t* bucket_start, const int32_t* lo_arr,
             hit_oi[n] = oi_arr[where];
             hit_off[n] = off_arr[where];
             hit_wt[n] = wt_arr[where];
-            hit_code[n] = (int64_t)hi * 160000 + lo;
+            hit_code[n] = (int64_t)hi * 8000 + lo;
             n++;
         }
         p++;

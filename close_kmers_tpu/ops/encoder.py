@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..params import HI_CARD, K, LO_CARD, MAX_ENCODED
+from ..params import HI_CARD, HI_DIGITS, K, LO_CARD, LO_DIGITS, MAX_ENCODED
 
 PROT_ALPHA = "ACDEFGHIKLMNPQRSTVWY"
 
@@ -32,7 +32,8 @@ for _i, _c in enumerate(PROT_ALPHA):
     AA_TO_OFFSET[ord(_c)] = _i
 
 _POW20 = np.array([20 ** (K - 1 - i) for i in range(K)], dtype=np.int64)
-_POW20_HALF = np.array([20 ** (K // 2 - 1 - i) for i in range(K // 2)], dtype=np.int64)
+_POW20_HI = np.array([20 ** (HI_DIGITS - 1 - i) for i in range(HI_DIGITS)], dtype=np.int64)
+_POW20_LO = np.array([20 ** (LO_DIGITS - 1 - i) for i in range(LO_DIGITS)], dtype=np.int64)
 
 
 def seq_to_offsets(seq: str | bytes) -> np.ndarray:
@@ -118,9 +119,10 @@ def encode_windows_hi_lo(offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray, n
     off64 = offsets.astype(np.int64)
     hi = np.zeros(n, dtype=np.int64)
     lo = np.zeros(n, dtype=np.int64)
-    for j in range(K // 2):
-        hi += off64[j : j + n] * _POW20_HALF[j]
-        lo += off64[K // 2 + j : K // 2 + j + n] * _POW20_HALF[j]
+    for j in range(HI_DIGITS):
+        hi += off64[j : j + n] * _POW20_HI[j]
+    for j in range(LO_DIGITS):
+        lo += off64[HI_DIGITS + j : HI_DIGITS + j + n] * _POW20_LO[j]
     valid = windows_valid(offsets)[:n]
     hi = np.where(valid, hi, -1).astype(np.int32)
     lo = np.where(valid, lo, -1).astype(np.int32)

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..params import HI_CARD, K
+from ..params import HI_CARD, K, LO_CARD
 from ..db.signature_db import SignatureDB
 from ..core.engine import DeviceDB, encode_windows, probe_windows
 
@@ -60,12 +60,9 @@ class ShardedDB:
     """Signature DB split into ``S`` contiguous sorted-key ranges, padded
     to equal length M, stacked as [S, ...] arrays sharded over "table"."""
 
-    bucket_start: jax.Array  # i32[S, HI_CARD+1]
+    bucket_pair: jax.Array   # i32[S, HI_CARD, 2]
     lo: jax.Array            # i32[S, M+1]
-    fi: jax.Array
-    oi: jax.Array
-    avg_off: jax.Array
-    wt: jax.Array            # f32[S, M+1]
+    payload: jax.Array       # i32[S, M+1, 4]
     n_steps: int
     m: int                   # rows per shard (excluding pad row)
     n_shards: int
@@ -77,38 +74,38 @@ class ShardedDB:
         n = len(db)
         m = -(-n // S) if n else 1
         max_bucket = 0
-        bs = np.zeros((S, HI_CARD + 1), dtype=np.int32)
+        bp = np.zeros((S, HI_CARD, 2), dtype=np.int32)
         lo = np.full((S, m + 1), -1, dtype=np.int32)
-        fi = np.full((S, m + 1), -1, dtype=np.int32)
-        oi = np.full((S, m + 1), -1, dtype=np.int32)
-        av = np.zeros((S, m + 1), dtype=np.int32)
-        wt = np.zeros((S, m + 1), dtype=np.float32)
+        payload = np.zeros((S, m + 1, 4), dtype=np.int32)
+        payload[:, :, 0] = -1
+        payload[:, :, 1] = -1
         for s in range(S):
             a, b = s * m, min((s + 1) * m, n)
             cnt = max(0, b - a)
             if cnt:
                 lo[s, :cnt] = db.lo[a:b]
-                fi[s, :cnt] = db.fi[a:b]
-                oi[s, :cnt] = db.oi[a:b]
-                av[s, :cnt] = db.avg_off[a:b]
-                wt[s, :cnt] = db.wt[a:b]
+                payload[s, :cnt, 0] = db.fi[a:b]
+                payload[s, :cnt, 1] = db.oi[a:b]
+                payload[s, :cnt, 2] = db.avg_off[a:b]
+                payload[s, :cnt, 3] = db.wt[a:b].view(np.int32)
                 counts = np.bincount(db.hi[a:b], minlength=HI_CARD)
-                np.cumsum(counts, out=bs[s, 1:])
+                cum = np.cumsum(counts)
+                bp[s, :, 1] = cum
+                bp[s, 1:, 0] = cum[:-1]
                 max_bucket = max(max_bucket, int(counts.max()))
         n_steps = max(1, math.ceil(math.log2(max_bucket + 1))) if max_bucket else 1
 
         shard = NamedSharding(mesh, P("table", None))
         put = lambda a: jax.device_put(jnp.asarray(a), shard)
-        return cls(put(bs), put(lo), put(fi), put(oi), put(av), put(wt),
-                   n_steps, m, S, mesh)
+        return cls(put(bp), put(lo), put(payload), n_steps, m, S, mesh)
 
 
-def _local_probe(bs, lo, fi, oi, av, wt, offsets, lengths, *, n_steps, m):
+def _local_probe(bp, lo, payload, offsets, lengths, *, n_steps, m):
     """Per-device body: probe the local batch shard against the local
     table shard and zero-mask payloads for the cross-shard psum."""
-    ddb = DeviceDB(bs[0], lo[0], fi[0], oi[0], av[0], wt[0], n_steps, m)
+    ddb = DeviceDB(bp[0], lo[0], payload[0], n_steps, m)
     hi_q, lo_q, valid = encode_windows(offsets, lengths)
-    found, p_fi, p_oi, p_av, p_wt = probe_windows(ddb, hi_q, lo_q, valid)
+    found, p_fi, p_oi, p_av, p_wt, _ = probe_windows(ddb, hi_q, lo_q, valid)
     fnd = found.astype(jnp.int32)
     out = (
         jax.lax.psum(fnd, "table"),
@@ -122,30 +119,29 @@ def _local_probe(bs, lo, fi, oi, av, wt, offsets, lengths, *, n_steps, m):
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "m", "mesh"))
-def _probe_sharded_jit(bs, lo, fi, oi, av, wt, n_steps, m, mesh,
+def _probe_sharded_jit(bp, lo, payload, n_steps, m, mesh,
                        offsets, lengths):
     fn = jax.shard_map(
         functools.partial(_local_probe, n_steps=n_steps, m=m),
         mesh=mesh,
-        in_specs=(P("table", None), P("table", None), P("table", None),
-                  P("table", None), P("table", None), P("table", None),
-                  P("data", None), P("data")),
+        in_specs=(P("table", None, None), P("table", None),
+                  P("table", None, None), P("data", None), P("data")),
         out_specs=(P("data", None),) * 7,
     )
-    return fn(bs, lo, fi, oi, av, wt, offsets, lengths)
+    return fn(bp, lo, payload, offsets, lengths)
 
 
 def probe_sharded(sdb: ShardedDB, offsets, lengths):
     """Probe a [B, L] batch against the sharded DB.  Returns
     (found, fi, oi, avg_off, wt, hi, lo) with found as int32 0/1;
     batch rows must be divisible by the data axis size."""
-    return _probe_sharded_jit(sdb.bucket_start, sdb.lo, sdb.fi, sdb.oi,
-                              sdb.avg_off, sdb.wt, sdb.n_steps, sdb.m,
+    return _probe_sharded_jit(sdb.bucket_pair, sdb.lo, sdb.payload,
+                              sdb.n_steps, sdb.m,
                               sdb.mesh, jnp.asarray(offsets),
                               jnp.asarray(lengths))
 
 
-def _annotate_step_local(bs, lo, fi, oi, av, wt, offsets, lengths, *, n_steps, m):
+def _annotate_step_local(bp, lo, payload, offsets, lengths, *, n_steps, m):
     """One full device-side annotation step: probe + psum merge + the
     complete run/gap/two-hit scoring scan + per-sequence reductions.
     This is the framework's "training step" analogue — the compute graph
@@ -153,7 +149,7 @@ def _annotate_step_local(bs, lo, fi, oi, av, wt, offsets, lengths, *, n_steps, m
     from ..core.device_score import _scan_score
 
     found, p_fi, p_oi, p_av, p_wt, hi_q, lo_q = _local_probe(
-        bs, lo, fi, oi, av, wt, offsets, lengths, n_steps=n_steps, m=m)
+        bp, lo, payload, offsets, lengths, n_steps=n_steps, m=m)
     fnd = found > 0
     n_hits = jnp.sum(found, axis=1)
     weighted = jnp.sum(jnp.where(fnd, p_wt, 0.0), axis=1)
@@ -173,25 +169,24 @@ def _annotate_step_local(bs, lo, fi, oi, av, wt, offsets, lengths, *, n_steps, m
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "m", "mesh"))
-def _annotate_step_jit(bs, lo, fi, oi, av, wt, n_steps, m, mesh,
+def _annotate_step_jit(bp, lo, payload, n_steps, m, mesh,
                        offsets, lengths):
     fn = jax.shard_map(
         functools.partial(_annotate_step_local, n_steps=n_steps, m=m),
         mesh=mesh,
-        in_specs=(P("table", None), P("table", None), P("table", None),
-                  P("table", None), P("table", None), P("table", None),
-                  P("data", None), P("data")),
+        in_specs=(P("table", None, None), P("table", None),
+                  P("table", None, None), P("data", None), P("data")),
         out_specs=(P("data"), P("data"), P("data", None), P("data"),
                    P("data")),
     )
-    return fn(bs, lo, fi, oi, av, wt, offsets, lengths)
+    return fn(bp, lo, payload, offsets, lengths)
 
 
 def annotate_step_sharded(sdb: ShardedDB, offsets, lengths):
     """Full jitted multi-chip annotation step (probe + merge + on-device
     score reductions)."""
-    return _annotate_step_jit(sdb.bucket_start, sdb.lo, sdb.fi, sdb.oi,
-                              sdb.avg_off, sdb.wt, sdb.n_steps, sdb.m,
+    return _annotate_step_jit(sdb.bucket_pair, sdb.lo, sdb.payload,
+                              sdb.n_steps, sdb.m,
                               sdb.mesh, jnp.asarray(offsets),
                               jnp.asarray(lengths))
 
@@ -240,7 +235,7 @@ class ShardedEngine:
         rows, cols = np.nonzero(found)
         row_off = np.zeros(B + 1, dtype=np.int64)
         np.cumsum(np.bincount(rows, minlength=B), out=row_off[1:])
-        code = (np.asarray(hi)[:B][rows, cols].astype(np.int64) * 160000
+        code = (np.asarray(hi)[:B][rows, cols].astype(np.int64) * LO_CARD
                 + np.asarray(lo)[:B][rows, cols].astype(np.int64))
         return dict(pos=cols.astype(np.int32),
                     fi=np.asarray(fi)[:B][rows, cols],

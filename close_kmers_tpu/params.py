@@ -31,12 +31,15 @@ HIT_BUFFER_CAP = MAX_HITS_PER_SEQ - 2
 OI_BUFSZ = 5
 
 # Split point for the two-level TPU index: a 8-mer code is stored as
-# (hi, lo) = (code // 20^4, code % 20^4), both < 160000 so they fit
-# comfortably in int32 — the TPU probe path never needs 64-bit ints.
-HI_DIGITS = 4
+# (hi, lo) = (code // 20^LO_DIGITS, code % 20^LO_DIGITS); both fit int32
+# so the TPU probe path never needs 64-bit ints.  HI_DIGITS=5 gives 3.2M
+# buckets (avg bucket ~6 entries at 20M kmers), shrinking the in-bucket
+# binary search to ~5 gather steps — gather OPS dominate probe time on
+# TPU, so fewer/wider ops win.
+HI_DIGITS = 5
 LO_DIGITS = KMER_SIZE - HI_DIGITS
-HI_CARD = 20 ** HI_DIGITS  # 160000
-LO_CARD = 20 ** LO_DIGITS  # 160000
+HI_CARD = 20 ** HI_DIGITS  # 3,200,000
+LO_CARD = 20 ** LO_DIGITS  # 8,000
 
 # On-disk hash image version (kmer_image.h:6).
 KMER_IMAGE_VERSION = 1

@@ -68,3 +68,28 @@ def test_device_empty_batch_rows(corpus):
     lengths = np.zeros(4, dtype=np.int32)
     n_calls, calls = ds.score_batch(offsets, lengths)
     assert n_calls.tolist() == [0, 0, 0, 0]
+
+
+def test_packed_upload_path(corpus):
+    """5-bit packed uploads produce identical packed outputs."""
+    import jax.numpy as jnp
+    from close_kmers_tpu.core.engine import pack_offsets, unpack_offsets
+    db, seqs = corpus
+    ds = DeviceScorer(db)
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    L = offsets.shape[1]
+    if L % 8:
+        offsets = np.concatenate(
+            [offsets, np.full((offsets.shape[0], 8 - L % 8), 20, np.uint8)],
+            axis=1)
+        L = offsets.shape[1]
+    packed = pack_offsets(offsets)
+    # unpack roundtrip
+    assert np.array_equal(np.asarray(unpack_offsets(jnp.asarray(packed), L)),
+                          offsets)
+    params = EngineParams()
+    out1, cap1 = ds.score_batch_packed(offsets, lengths, params)
+    out2, cap2 = ds.score_batch_packed(packed, lengths, params, packed_L=L)
+    assert cap1 == cap2
+    assert np.array_equal(np.asarray(out1), np.asarray(out2))

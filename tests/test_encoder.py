@@ -4,7 +4,7 @@
 import numpy as np
 import pytest
 
-from close_kmers_tpu.params import CORE, K, LO_CARD, MAX_ENCODED
+from close_kmers_tpu.params import CORE, HI_CARD, K, LO_CARD, MAX_ENCODED
 from close_kmers_tpu.ops import encoder as E
 
 
@@ -36,7 +36,7 @@ def test_encode_decode_roundtrip():
         assert code <= MAX_ENCODED
         assert E.decode_kmer(code) == kmer
         hi, lo = E.split_hi_lo(code)
-        assert 0 <= hi < 160000 and 0 <= lo < 160000
+        assert 0 <= hi < HI_CARD and 0 <= lo < LO_CARD
         assert int(E.join_hi_lo(hi, lo)) == code
 
 
