@@ -109,13 +109,12 @@ def bench_tpu(db, offsets, lengths):
     import jax.numpy as jnp
     GROUP = int(os.environ.get("BENCH_GROUP", 4))
 
-    from close_kmers_tpu.core.engine import pack_offsets
-    L = offsets.shape[1]
-
+    # Note: 5-bit packed uploads (engine.pack_offsets) were measured here:
+    # the wire savings are real but the device-side unpack's lane
+    # interleave costs ~900 ms/batch on this chip, a large net loss.
     # warmup/compile
     t0 = time.time()
-    out, cap = ds.score_batch_packed(pack_offsets(offsets[:BATCH]),
-                                     lengths[:BATCH], params, packed_L=L)
+    out, cap = ds.score_batch_packed(offsets[:BATCH], lengths[:BATCH], params)
     host_side(np.asarray(out), BATCH, cap)
     jax.block_until_ready(jnp.concatenate([out, out]))
     log(f"warmup+compile {time.time()-t0:.1f}s")
@@ -142,8 +141,7 @@ def bench_tpu(db, offsets, lengths):
         b = min(a + BATCH, N_QUERY)
         if b - a < BATCH:
             break
-        out, cap = ds.score_batch_packed(pack_offsets(offsets[a:b]),
-                                         lengths[a:b], params, packed_L=L)
+        out, cap = ds.score_batch_packed(offsets[a:b], lengths[a:b], params)
         pending.append((out, b - a, cap))
         if len(pending) >= GROUP:
             if ready is not None:
