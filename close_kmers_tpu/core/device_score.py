@@ -365,11 +365,12 @@ def _best_call_device(emit, c_cnt, c_fi, c_wt):
                      "order_constraint"))
 def _probe_best_jit(bucket_pair, lo_arr, payload,
                     n, n_steps, offsets, lengths,
-                    min_hits, min_weighted_hits, max_gap, order_constraint):
+                    min_hits, min_weighted_hits, max_gap, order_constraint,
+                    lo_wide=None):
     """Fused probe + scan scoring + device find_best_call reductions.
     Output: one packed int32 buffer [B, 9] (wt fields bitcast; col 8 =
     overflow flag -> row needs the host fallback path)."""
-    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n)
+    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide)
     hi, lo, valid = encode_windows(offsets, lengths)
     found, p_fi, p_oi, p_av, p_wt, _ = probe_windows(ddb, hi, lo, valid)
     emit, (c_start, c_end, c_cnt, c_fi, c_wt) = _scan_score(
@@ -391,8 +392,8 @@ def _probe_best_jit(bucket_pair, lo_arr, payload,
 def _probe_score_jit(bucket_pair, lo_arr, payload,
                      n, n_steps, offsets, lengths,
                      min_hits, min_weighted_hits, max_gap, order_constraint,
-                     call_cap, use_pallas=False, L=0):
-    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n)
+                     call_cap, use_pallas=False, L=0, lo_wide=None):
+    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide)
     if L:  # offsets arrive 5-bit packed (engine.pack_offsets)
         from .engine import unpack_offsets
         offsets = unpack_offsets(offsets, L)
@@ -461,7 +462,7 @@ class DeviceScorer:
             d.bucket_pair, d.lo, d.payload, d.n,
             d.n_steps, jnp.asarray(offsets), jnp.asarray(lengths),
             params.min_hits, params.min_weighted_hits, params.max_gap,
-            params.order_constraint, cap, self.use_pallas)
+            params.order_constraint, cap, self.use_pallas, 0, d.lo_wide)
         out = np.asarray(out)
         n_calls = out[:B]
         pack = out[B:].reshape(5, cap)
@@ -554,5 +555,6 @@ class DeviceScorer:
             d.bucket_pair, d.lo, d.payload, d.n,
             d.n_steps, jnp.asarray(offsets), jnp.asarray(lengths),
             params.min_hits, params.min_weighted_hits, params.max_gap,
-            params.order_constraint, cap, self.use_pallas, packed_L)
+            params.order_constraint, cap, self.use_pallas, packed_L,
+            d.lo_wide)
         return out, cap

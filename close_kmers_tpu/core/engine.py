@@ -59,9 +59,17 @@ class DeviceDB:
     payload: jax.Array       # i32[N+1, 4] = fi, oi, avg_off, wt-bits
     n_steps: int
     n: int
+    # Optional wide-bucket layout: when every bucket fits WIDE_BUCKET_MAX
+    # entries, the whole bucket's lo values live in one gatherable row and
+    # the binary search collapses to a single compare — 3 gather ops per
+    # probe total.  None disables (falls back to the search loop).
+    lo_wide: jax.Array | None = None
+
+    WIDE_BUCKET_MAX = 32  # memory/time tradeoff bound (HI_CARD*W*4 bytes)
 
     @classmethod
-    def from_db(cls, db: SignatureDB, device=None) -> "DeviceDB":
+    def from_db(cls, db: SignatureDB, device=None,
+                wide: bool | None = None) -> "DeviceDB":
         put = functools.partial(jax.device_put, device=device)
         n_steps = max(1, math.ceil(math.log2(db.max_bucket + 1))) if len(db) else 1
         n = len(db)
@@ -74,12 +82,25 @@ class DeviceDB:
         payload[:n, 2] = db.avg_off
         payload[:n, 3] = db.wt.view(np.int32)
         payload[n] = (-1, -1, 0, 0)
+        if wide is None:
+            wide = 0 < db.max_bucket <= cls.WIDE_BUCKET_MAX
+        lo_wide = None
+        if wide and n:
+            WIDE = max(1, int(db.max_bucket))
+            lw = np.full((len(pair), WIDE), 2 ** 30, dtype=np.int32)
+            starts = db.bucket_start[:-1]
+            counts = db.bucket_start[1:] - starts
+            for j in range(WIDE):
+                m = counts > j
+                lw[m, j] = db.lo[starts[m] + j]
+            lo_wide = put(jnp.asarray(lw))
         return cls(
             bucket_pair=put(jnp.asarray(pair)),
             lo=put(jnp.asarray(lo)),
             payload=put(jnp.asarray(payload)),
             n_steps=n_steps,
             n=n,
+            lo_wide=lo_wide,
         )
 
 
@@ -163,25 +184,37 @@ def probe_windows(ddb: DeviceDB, hi, lo, valid):
     lo_c = jnp.where(valid, lo, -2)
     pair = ddb.bucket_pair[hi_c]
     left = pair[..., 0]
-    right = pair[..., 1]
-    end = right
-    # Branchless lower_bound: after n_steps halvings left==right==insertion
-    # point of lo_c in ddb.lo[left:end).  fori_loop keeps the HLO small
-    # (compile time matters through the remote-compile tunnel).
-    def search_step(_, lr):
-        left, right = lr
-        cont = left < right
-        mid = (left + right) >> 1
-        v = ddb.lo[jnp.minimum(mid, ddb.n)]
-        go_right = cont & (v < lo_c)
-        return (jnp.where(go_right, mid + 1, left),
-                jnp.where(cont & ~go_right, mid, right))
+    end = pair[..., 1]
 
-    left, right = jax.lax.fori_loop(0, ddb.n_steps, search_step,
-                                    (left, right), unroll=False)
-    idx = jnp.minimum(left, ddb.n)
-    found = valid & (left < end) & (ddb.lo[idx] == lo_c)
-    idx = jnp.where(found, idx, ddb.n)
+    if ddb.lo_wide is not None:
+        # Wide-bucket compare: one row gather holds the whole bucket
+        # (sentinel-padded), so matching is a vector equality + argmax —
+        # 3 gather ops per probe total (pair, lo_wide, payload).
+        row_lo = ddb.lo_wide[hi_c]                 # [..., WIDE]
+        match = row_lo == lo_c[..., None]
+        found = valid & match.any(axis=-1)
+        pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
+        idx = jnp.where(found, left + pos, ddb.n)
+    else:
+        right = end
+        # Branchless lower_bound: after n_steps halvings left==right ==
+        # insertion point of lo_c in ddb.lo[left:end).  fori_loop keeps
+        # the HLO small (compile time matters through the remote-compile
+        # tunnel).
+        def search_step(_, lr):
+            left, right = lr
+            cont = left < right
+            mid = (left + right) >> 1
+            v = ddb.lo[jnp.minimum(mid, ddb.n)]
+            go_right = cont & (v < lo_c)
+            return (jnp.where(go_right, mid + 1, left),
+                    jnp.where(cont & ~go_right, mid, right))
+
+        left, right = jax.lax.fori_loop(0, ddb.n_steps, search_step,
+                                        (left, right), unroll=False)
+        idx = jnp.minimum(left, ddb.n)
+        found = valid & (left < end) & (ddb.lo[idx] == lo_c)
+        idx = jnp.where(found, idx, ddb.n)
     row = ddb.payload[idx]
     wt = jax.lax.bitcast_convert_type(row[..., 3], jnp.float32)
     return (found, row[..., 0], row[..., 1], row[..., 2], wt, idx)
@@ -189,8 +222,8 @@ def probe_windows(ddb: DeviceDB, hi, lo, valid):
 
 @jax.jit
 def _probe_batch_jit(bucket_pair, lo_arr, payload, n, n_steps,
-                     offsets, lengths):
-    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n)
+                     offsets, lengths, lo_wide=None):
+    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide)
     hi, lo, valid = encode_windows(offsets, lengths)
     return probe_windows(ddb, hi, lo, valid)[:5]
 
@@ -215,7 +248,8 @@ class TpuEngine:
         (found, fi, oi, avg_off, wt) of shape [B, L-K]."""
         d = self.ddb
         out = _probe_batch_jit(d.bucket_pair, d.lo, d.payload, d.n, d.n_steps,
-                               jnp.asarray(offsets), jnp.asarray(lengths))
+                               jnp.asarray(offsets), jnp.asarray(lengths),
+                               d.lo_wide)
         return tuple(np.asarray(x) for x in out)
 
     def hits_of_batch(self, seqs: list[str], pad_to: int | None = None):
@@ -300,7 +334,7 @@ class FastAnnotator:
         d = self.ddb
         found, fi, oi, avg_off, wt, hi, lo = _probe_batch_full_jit(
             d.bucket_pair, d.lo, d.payload, d.n, d.n_steps,
-            jnp.asarray(offsets), jnp.asarray(lengths))
+            jnp.asarray(offsets), jnp.asarray(lengths), d.lo_wide)
         found = np.asarray(found)
         rows, cols = np.nonzero(found)
         row_off = np.zeros(len(lengths) + 1, dtype=np.int64)
@@ -376,10 +410,10 @@ def finish_best_call(n_funcs: int, fi3, cnt3, wt3, function_of) -> O.BestCall:
 
 @jax.jit
 def _probe_batch_full_jit(bucket_pair, lo_arr, payload, n, n_steps,
-                          offsets, lengths):
+                          offsets, lengths, lo_wide=None):
     """Like _probe_batch_jit but also returns the window hi/lo codes for
     host-side code reconstruction."""
-    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n)
+    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide)
     hi, lo, valid = encode_windows(offsets, lengths)
     found, fi, oi, avg_off, wt, idx = probe_windows(ddb, hi, lo, valid)
     return found, fi, oi, avg_off, wt, hi, lo
