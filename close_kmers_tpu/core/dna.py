@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..params import K, EngineParams
-from ..ops.encoder import AA_TO_OFFSET, seq_to_offsets
+from ..ops.encoder import seq_to_offsets
 from ..ops.translate import rev_comp, translate_kguts
 from . import oracle as O
 

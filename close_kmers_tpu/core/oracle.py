@@ -32,7 +32,7 @@ from typing import Callable
 import numpy as np
 
 from ..params import HIT_BUFFER_CAP, K, EngineParams
-from ..ops.encoder import AA_TO_OFFSET, decode_kmer, seq_to_offsets
+from ..ops.encoder import decode_kmer, seq_to_offsets
 from ..ops.translate import rev_comp, translate_kguts
 
 

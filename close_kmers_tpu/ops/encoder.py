@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..params import HI_CARD, HI_DIGITS, K, LO_CARD, LO_DIGITS, MAX_ENCODED
+from ..params import HI_DIGITS, K, LO_CARD, LO_DIGITS, MAX_ENCODED
 
 PROT_ALPHA = "ACDEFGHIKLMNPQRSTVWY"
 

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..params import HI_CARD, K, LO_CARD
+from ..params import HI_CARD, LO_CARD
 from ..db.signature_db import SignatureDB
 from ..core.engine import DeviceDB, encode_windows, probe_windows
 
