@@ -5,19 +5,20 @@ table of 24-byte ``sig_kmer_t`` entries (/root/reference/kmer_image.h:11-23,
 kmer_image.cc:41-107, probe kguts.cc:585-602).  Random linear-probe chains
 do not map to TPU; the TPU-native layout is:
 
-* ``lo``      int32[N]  — low 4-aa code of each kmer, sorted within bucket
+* ``lo``      int32[N]  — low LO_DIGITS-aa code of each kmer, sorted within bucket
 * ``fi``      int32[N]  — function index
 * ``oi``      int32[N]  — OTU index
 * ``avg_off`` int32[N]  — average offset from protein end (u16 range)
 * ``wt``      float32[N]— function weight
-* ``bucket_start`` int32[HI_CARD+1] — CSR offsets: kmers whose high 4-aa
-  code equals ``h`` live at rows [bucket_start[h], bucket_start[h+1]).
+* ``bucket_start`` int32[HI_CARD+1] — CSR offsets: kmers whose high
+  HI_DIGITS-aa code equals ``h`` live at rows [bucket_start[h], bucket_start[h+1]).
 
-i.e. a two-level index keyed by (hi, lo) = (code // 20^4, code % 20^4).
-Both halves are < 160000 so every device-side quantity is int32 — the
-probe kernel needs no 64-bit arithmetic at all.  A probe is a gather of
-the two bucket bounds followed by a branchless binary search over at most
-max_bucket entries.
+i.e. a two-level index keyed by (hi, lo) = (code // 20^LO_DIGITS,
+code % 20^LO_DIGITS) — currently a 5/3 split (hi < 3.2M, lo < 8000), so
+every device-side quantity is int32 and the probe kernel needs no 64-bit
+arithmetic at all.  A probe gathers the bucket bounds then resolves the
+bucket either by a wide-row vector compare (small buckets) or a
+branchless binary search over at most max_bucket entries.
 
 Interop: readers/writers for the reference's on-disk artifacts
 (``final.kmers`` text, kguts.h:34; ``kmer.table.mem_map`` binary image;

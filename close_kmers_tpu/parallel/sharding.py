@@ -17,9 +17,9 @@ state*:
 * outputs land sharded over ``data`` and replicated over ``table``,
   ready for data-parallel host scoring or on-device reductions.
 
-Per-shard bucket tables: each shard rebuilds its own two-level
-``bucket_start`` CSR over the full 20^4 hi space (640 KB / shard), so the
-local probe kernel is identical to the single-chip one.
+Per-shard bucket tables: each shard rebuilds its own two-level bucket
+bounds over the full hi space (HI_CARD pairs per shard), so the local
+probe kernel is identical to the single-chip one.
 """
 
 from __future__ import annotations
