@@ -388,15 +388,21 @@ def _probe_best_jit(bucket_pair, lo_arr, payload,
 @functools.partial(
     jax.jit,
     static_argnames=("min_hits", "min_weighted_hits", "max_gap",
-                     "order_constraint", "call_cap", "use_pallas", "L"))
+                     "order_constraint", "call_cap", "use_pallas", "L",
+                     "pack_mode"))
 def _probe_score_jit(bucket_pair, lo_arr, payload,
                      n, n_steps, offsets, lengths,
                      min_hits, min_weighted_hits, max_gap, order_constraint,
-                     call_cap, use_pallas=False, L=0, lo_wide=None):
+                     call_cap, use_pallas=False, L=0, lo_wide=None,
+                     pack_mode=1):
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide)
-    if L:  # offsets arrive 5-bit packed (engine.pack_offsets)
-        from .engine import unpack_offsets
-        offsets = unpack_offsets(offsets, L)
+    if L:  # offsets arrive 5-bit packed; L = unpacked padded width
+        if pack_mode == 2:   # planar i32 words (engine.pack_offsets_planar)
+            from .engine import unpack_offsets_planar
+            offsets = unpack_offsets_planar(offsets, L)
+        else:                # byte-interleaved u8 (engine.pack_offsets)
+            from .engine import unpack_offsets
+            offsets = unpack_offsets(offsets, L)
     hi, lo, valid = encode_windows(offsets, lengths)
     found, p_fi, p_oi, p_av, p_wt, _ = probe_windows(ddb, hi, lo, valid)
     if use_pallas:
@@ -543,11 +549,13 @@ class DeviceScorer:
     def score_batch_packed(self, offsets, lengths,
                            params: EngineParams | None = None,
                            calls_per_seq_cap: int = 4,
-                           packed_L: int = 0):
+                           packed_L: int = 0, pack_mode: int = 1):
         """Async-friendly variant: returns the device array (not yet
         transferred) so callers can pipeline dispatch and readback.
-        If ``packed_L`` is nonzero, ``offsets`` is 5-bit packed
-        (engine.pack_offsets) and unpacks to [B, packed_L] on device."""
+        If ``packed_L`` is nonzero, ``offsets`` arrives 5-bit packed and
+        unpacks to [B, packed_L] on device: pack_mode 1 = byte-interleaved
+        u8 (engine.pack_offsets), 2 = planar i32 words
+        (engine.pack_offsets_planar — the TPU-friendly unpack)."""
         params = params or EngineParams()
         d = self.ddb
         cap = offsets.shape[0] * calls_per_seq_cap
@@ -556,5 +564,5 @@ class DeviceScorer:
             d.n_steps, jnp.asarray(offsets), jnp.asarray(lengths),
             params.min_hits, params.min_weighted_hits, params.max_gap,
             params.order_constraint, cap, self.use_pallas, packed_L,
-            d.lo_wide)
+            d.lo_wide, pack_mode)
         return out, cap

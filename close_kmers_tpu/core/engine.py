@@ -60,9 +60,11 @@ class DeviceDB:
     n_steps: int
     n: int
     # Optional wide-bucket layout: when every bucket fits WIDE_BUCKET_MAX
-    # entries, the whole bucket's lo values live in one gatherable row and
-    # the binary search collapses to a single compare — 3 gather ops per
-    # probe total.  None disables (falls back to the search loop).
+    # entries, the bucket's start row index AND its lo values live in one
+    # gatherable [1+W] row (col 0 = start, cols 1.. = sentinel-padded lo),
+    # so the probe is 2 gather ops total (fused row, payload) — the
+    # bucket_pair gather is skipped entirely.  None disables (falls back
+    # to the bounds + binary-search loop).
     lo_wide: jax.Array | None = None
 
     WIDE_BUCKET_MAX = 32  # memory/time tradeoff bound (HI_CARD*W*4 bytes)
@@ -87,12 +89,13 @@ class DeviceDB:
         lo_wide = None
         if wide and n:
             WIDE = max(1, int(db.max_bucket))
-            lw = np.full((len(pair), WIDE), 2 ** 30, dtype=np.int32)
+            lw = np.full((len(pair), 1 + WIDE), 2 ** 30, dtype=np.int32)
             starts = db.bucket_start[:-1]
             counts = db.bucket_start[1:] - starts
+            lw[:, 0] = starts
             for j in range(WIDE):
                 m = counts > j
-                lw[m, j] = db.lo[starts[m] + j]
+                lw[m, 1 + j] = db.lo[starts[m] + j]
             lo_wide = put(jnp.asarray(lw))
         return cls(
             bucket_pair=put(jnp.asarray(pair)),
@@ -152,6 +155,34 @@ def pack_offsets(offsets: np.ndarray) -> np.ndarray:
     return out.reshape(B, -1)
 
 
+def pack_offsets_planar(offsets: np.ndarray) -> np.ndarray:
+    """Host-side planar 5-bit packing: 6 residues per int32 (wire cost
+    0.67 B/residue vs 1.0 raw), laid out so the device unpack is pure
+    shifts + a concat of CONTIGUOUS blocks (no lane interleave — the cost
+    that sank the byte-interleaved pack_offsets scheme on TPU).
+
+    Word g holds residues {j*G + g : j in 0..5} where G = ceil(L/6):
+    plane j of the unpack is exactly output columns j*G..(j+1)*G."""
+    B, L = offsets.shape
+    G = -(-L // 6)
+    if G * 6 != L:
+        offsets = np.concatenate(
+            [offsets, np.full((B, G * 6 - L), 20, np.uint8)], axis=1)
+    v = np.zeros((B, G), dtype=np.int32)
+    for j in range(6):
+        v |= offsets[:, j * G:(j + 1) * G].astype(np.int32) << (5 * j)
+    return v
+
+
+def unpack_offsets_planar(packed, L6: int):
+    """Device-side inverse of pack_offsets_planar: [B, G] i32 ->
+    [B, L6] u8 with L6 = 6*G (padded length; pad columns decode to 20)."""
+    G = packed.shape[1]
+    assert L6 == 6 * G
+    planes = [((packed >> (5 * j)) & 31) for j in range(6)]
+    return jnp.concatenate(planes, axis=1).astype(jnp.uint8)
+
+
 def unpack_offsets(packed, L: int):
     """Device-side inverse of pack_offsets: [B, (L/8)*5] u8 -> [B, L] u8
     (pure vector bit ops)."""
@@ -182,20 +213,22 @@ def probe_windows(ddb: DeviceDB, hi, lo, valid):
     """
     hi_c = jnp.where(valid, hi, 0)
     lo_c = jnp.where(valid, lo, -2)
-    pair = ddb.bucket_pair[hi_c]
-    left = pair[..., 0]
-    end = pair[..., 1]
 
     if ddb.lo_wide is not None:
-        # Wide-bucket compare: one row gather holds the whole bucket
-        # (sentinel-padded), so matching is a vector equality + argmax —
-        # 3 gather ops per probe total (pair, lo_wide, payload).
-        row_lo = ddb.lo_wide[hi_c]                 # [..., WIDE]
-        match = row_lo == lo_c[..., None]
+        # Wide-bucket compare: one row gather holds the bucket start and
+        # the whole sentinel-padded bucket, so matching is a vector
+        # equality + argmax — 2 gather ops per probe total (fused row,
+        # payload); bucket_pair is never touched.
+        row = ddb.lo_wide[hi_c]                    # [..., 1 + WIDE]
+        left = row[..., 0]
+        match = row[..., 1:] == lo_c[..., None]
         found = valid & match.any(axis=-1)
         pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
         idx = jnp.where(found, left + pos, ddb.n)
     else:
+        pair = ddb.bucket_pair[hi_c]
+        left = pair[..., 0]
+        end = pair[..., 1]
         right = end
         # Branchless lower_bound: after n_steps halvings left==right ==
         # insertion point of lo_c in ddb.lo[left:end).  fori_loop keeps

@@ -93,3 +93,28 @@ def test_packed_upload_path(corpus):
     out2, cap2 = ds.score_batch_packed(packed, lengths, params, packed_L=L)
     assert cap1 == cap2
     assert np.array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_planar_packed_upload_path(corpus):
+    """Planar int32 packed uploads produce identical packed outputs."""
+    import jax.numpy as jnp
+    from close_kmers_tpu.core.engine import (pack_offsets_planar,
+                                             unpack_offsets_planar)
+    db, seqs = corpus
+    ds = DeviceScorer(db)
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    packed = pack_offsets_planar(offsets)
+    L6 = 6 * packed.shape[1]
+    # unpack roundtrip (pad columns decode to 20 = the pad value)
+    padded = np.concatenate(
+        [offsets, np.full((offsets.shape[0], L6 - offsets.shape[1]), 20,
+                          np.uint8)], axis=1)
+    assert np.array_equal(
+        np.asarray(unpack_offsets_planar(jnp.asarray(packed), L6)), padded)
+    params = EngineParams()
+    out1, cap1 = ds.score_batch_packed(padded, lengths, params)
+    out2, cap2 = ds.score_batch_packed(packed, lengths, params,
+                                       packed_L=L6, pack_mode=2)
+    assert cap1 == cap2
+    assert np.array_equal(np.asarray(out1), np.asarray(out2))
