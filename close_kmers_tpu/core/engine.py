@@ -360,26 +360,39 @@ class FastAnnotator:
             lengths[i] = len(o)
         return offsets, lengths
 
-    def probe_compact(self, offsets: np.ndarray, lengths: np.ndarray):
-        """Device probe + vectorized host compaction.  Returns a dict of
+    def probe_compact(self, offsets: np.ndarray, lengths: np.ndarray,
+                      hits_per_seq_cap: int = 64):
+        """Device probe + on-device hit compaction.  Returns a dict of
         concatenated per-sequence hit arrays (pos, fi, oi, avg_off, wt,
-        code) plus row_off delimiters."""
+        code) plus row_off delimiters.  Downloads only the packed hits
+        (cap overflow retries with 4x the cap, rounded to a power of two
+        to bound recompiles)."""
         d = self.ddb
-        found, fi, oi, avg_off, wt, hi, lo = _probe_batch_full_jit(
-            d.bucket_pair, d.lo, d.payload, d.n, d.n_steps,
-            jnp.asarray(offsets), jnp.asarray(lengths), d.lo_wide)
-        found = np.asarray(found)
-        rows, cols = np.nonzero(found)
-        row_off = np.zeros(len(lengths) + 1, dtype=np.int64)
-        np.cumsum(np.bincount(rows, minlength=len(lengths)), out=row_off[1:])
-        code = (np.asarray(hi)[rows, cols].astype(np.int64) * LO_CARD
-                + np.asarray(lo)[rows, cols].astype(np.int64))
+        B = offsets.shape[0]
+        W = offsets.shape[1] - K
+        max_cap = B * W
+        cap = min(max_cap, 1 << (B * hits_per_seq_cap - 1).bit_length())
+        while True:
+            out = np.asarray(_probe_compact_jit(
+                d.bucket_pair, d.lo, d.payload, d.n, d.n_steps,
+                jnp.asarray(offsets), jnp.asarray(lengths), cap, d.lo_wide))
+            n_hits = out[:B]
+            total = int(n_hits.sum())
+            if total <= cap or cap >= max_cap:
+                break
+            cap = min(max_cap, 1 << (total * 4 - 1).bit_length())
+        pack = out[B:].reshape(7, cap)
+        row_off = np.zeros(B + 1, dtype=np.int64)
+        np.cumsum(n_hits, out=row_off[1:])
+        t = slice(0, total)
+        code = (pack[5, t].astype(np.int64) * LO_CARD
+                + pack[6, t].astype(np.int64))
         return dict(
-            pos=cols.astype(np.int32),
-            fi=np.asarray(fi)[rows, cols],
-            oi=np.asarray(oi)[rows, cols],
-            avg_off=np.asarray(avg_off)[rows, cols],
-            wt=np.asarray(wt)[rows, cols],
+            pos=pack[0, t],
+            fi=pack[1, t],
+            oi=pack[2, t],
+            avg_off=pack[3, t],
+            wt=pack[4, t].copy().view(np.float32),
             code=code,
             row_off=row_off,
         )
@@ -441,15 +454,34 @@ def finish_best_call(n_funcs: int, fi3, cnt3, wt3, function_of) -> O.BestCall:
     return result
 
 
-@jax.jit
-def _probe_batch_full_jit(bucket_pair, lo_arr, payload, n, n_steps,
-                          offsets, lengths, lo_wide=None):
-    """Like _probe_batch_jit but also returns the window hi/lo codes for
-    host-side code reconstruction."""
+@functools.partial(jax.jit, static_argnames=("hit_cap",))
+def _probe_compact_jit(bucket_pair, lo_arr, payload, n, n_steps,
+                       offsets, lengths, hit_cap, lo_wide=None):
+    """Fused probe + on-device hit compaction: hits left-pack into a
+    [7, hit_cap] buffer (pos, fi, oi, avg_off, wt-bits, hi, lo) in
+    row-major (= per-sequence, position-ordered) order, prefixed by the
+    per-sequence hit counts.  Download cost scales with the number of
+    hits instead of six full [B, W] grids — the serving-path analogue of
+    the compact CALL download (through a slow host link the raw grids
+    dominate end-to-end time; see PERF.md)."""
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide)
     hi, lo, valid = encode_windows(offsets, lengths)
-    found, fi, oi, avg_off, wt, idx = probe_windows(ddb, hi, lo, valid)
-    return found, fi, oi, avg_off, wt, hi, lo
+    found, fi, oi, avg_off, wt, _ = probe_windows(ddb, hi, lo, valid)
+    B, W = found.shape
+    n_hits = found.sum(axis=1, dtype=jnp.int32)
+    flat = found.reshape(-1)
+    order = jnp.argsort(~flat, stable=True)[:hit_cap]
+    pos = (order % W).astype(jnp.int32)
+    pack = jnp.stack([
+        pos,
+        fi.reshape(-1)[order],
+        oi.reshape(-1)[order],
+        avg_off.reshape(-1)[order],
+        jax.lax.bitcast_convert_type(wt.reshape(-1)[order], jnp.int32),
+        hi.reshape(-1)[order],
+        lo.reshape(-1)[order],
+    ])
+    return jnp.concatenate([n_hits, pack.reshape(-1)])
 
 
 def replay_hits(hits, params: EngineParams, calls, otu) -> None:

@@ -151,3 +151,18 @@ def test_replay_equals_inline_state_machine(setup):
         assert [(c.start, c.end, c.count, c.fI) for c in calls] == \
             [(c.start, c.end, c.count, c.fI) for c in o_calls]
         assert otu.otus_by_count == o_otu.otus_by_count
+
+
+def test_probe_compact_cap_retry(setup):
+    """Tiny hit cap forces the retry-with-bigger-cap path; results must
+    equal the roomy-cap run."""
+    from close_kmers_tpu.core.engine import FastAnnotator
+    db, seqs, _ = setup
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    roomy = fa.probe_compact(offsets, lengths, hits_per_seq_cap=512)
+    tight = fa.probe_compact(offsets, lengths, hits_per_seq_cap=1)
+    for k in ("pos", "fi", "oi", "avg_off", "code", "row_off"):
+        assert np.array_equal(roomy[k], tight[k]), k
+    assert np.array_equal(roomy["wt"], tight["wt"])
+    assert roomy["row_off"][-1] == len(roomy["pos"]) > 0
