@@ -70,8 +70,9 @@ class DeviceFamilyDB:
 @functools.partial(jax.jit, static_argnames=("capf",))
 def _family_rollup_jit(bucket_pair, lo_arr, payload,
                        n, n_steps, fam_tab, inv_deg, offsets, lengths, capf,
-                       lo_wide=None):
-    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide)
+                       lo_wide=None, payload_wide=None):
+    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
+                   payload_wide)
     hi, lo, valid = encode_windows(offsets, lengths)
     found, _fi, _oi, _av, _wt, idx = probe_windows(ddb, hi, lo, valid)
 
@@ -128,7 +129,8 @@ class DeviceFamilyScorer:
         run_b, run_f, counts, weights, n_runs, per_seq = _family_rollup_jit(
             d.bucket_pair, d.lo, d.payload, d.n,
             d.n_steps, self.fdb.fam, self.fdb.inv_deg,
-            jnp.asarray(offsets), jnp.asarray(lengths), capf, d.lo_wide)
+            jnp.asarray(offsets), jnp.asarray(lengths), capf, d.lo_wide,
+            d.payload_wide)
         n_runs = int(n_runs)
         if n_runs > capf - 1:
             return self.rollup(offsets, lengths, fams_per_seq_cap * 4)

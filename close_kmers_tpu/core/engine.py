@@ -66,12 +66,22 @@ class DeviceDB:
     # bucket_pair gather is skipped entirely.  None disables (falls back
     # to the bounds + binary-search loop).
     lo_wide: jax.Array | None = None
+    # Optional single-gather layout: the payload planes (fi, oi, avg_off,
+    # wt-bits) are stored alongside the lo plane in the same row —
+    # [1 + 5W] per bucket — so ONE gather yields the match test AND the
+    # matched payload (selected with in-register masked sums; gather OP
+    # count, not width, dominates probe cost on this hardware, see
+    # PERF.md).  Costs HI_CARD*(1+5W)*4 bytes, so it is gated by
+    # WIDE_PAYLOAD_MAX_BYTES; when None the 2-gather layout applies.
+    payload_wide: jax.Array | None = None
 
     WIDE_BUCKET_MAX = 32  # memory/time tradeoff bound (HI_CARD*W*4 bytes)
+    WIDE_PAYLOAD_MAX_BYTES = 2 << 30
 
     @classmethod
     def from_db(cls, db: SignatureDB, device=None,
-                wide: bool | None = None) -> "DeviceDB":
+                wide: bool | None = None,
+                wide_payload: bool | None = None) -> "DeviceDB":
         put = functools.partial(jax.device_put, device=device)
         n_steps = max(1, math.ceil(math.log2(db.max_bucket + 1))) if len(db) else 1
         n = len(db)
@@ -86,12 +96,28 @@ class DeviceDB:
         payload[n] = (-1, -1, 0, 0)
         if wide is None:
             wide = 0 < db.max_bucket <= cls.WIDE_BUCKET_MAX
+        H = len(pair)
+        WIDE = max(1, int(db.max_bucket))
+        if wide_payload is None:
+            wide_payload = (wide and
+                            H * (1 + 5 * WIDE) * 4 <= cls.WIDE_PAYLOAD_MAX_BYTES)
         lo_wide = None
-        if wide and n:
-            WIDE = max(1, int(db.max_bucket))
-            lw = np.full((len(pair), 1 + WIDE), 2 ** 30, dtype=np.int32)
-            starts = db.bucket_start[:-1]
-            counts = db.bucket_start[1:] - starts
+        payload_wide = None
+        starts = db.bucket_start[:-1]
+        counts = db.bucket_start[1:] - starts
+        if wide and wide_payload and n:
+            pw = np.zeros((H, 1 + 5 * WIDE), dtype=np.int32)
+            pw[:, 0] = starts
+            pw[:, 1:1 + WIDE] = 2 ** 30  # lo plane sentinel: never matches
+            planes = (db.lo, db.fi, db.oi, db.avg_off, db.wt.view(np.int32))
+            for j in range(WIDE):
+                m = counts > j
+                rows = starts[m] + j
+                for p, plane in enumerate(planes):
+                    pw[m, 1 + p * WIDE + j] = plane[rows]
+            payload_wide = put(jnp.asarray(pw))
+        elif wide and n:
+            lw = np.full((H, 1 + WIDE), 2 ** 30, dtype=np.int32)
             lw[:, 0] = starts
             for j in range(WIDE):
                 m = counts > j
@@ -104,7 +130,14 @@ class DeviceDB:
             n_steps=n_steps,
             n=n,
             lo_wide=lo_wide,
+            payload_wide=payload_wide,
         )
+
+
+# Banded-matmul encode band size cap: the [L, 2W] f32 weight constants
+# are ~3 MB at L=512 and grow quadratically — long-contig tiles use the
+# sliced log-tree path instead.
+MM_ENCODE_MAX_L = 1024
 
 
 def encode_windows(offsets: jax.Array, lengths: jax.Array):
@@ -120,19 +153,65 @@ def encode_windows(offsets: jax.Array, lengths: jax.Array):
     if W <= 0:
         raise ValueError(f"padded length {L} must exceed {K}")
     from ..params import HI_DIGITS, LO_DIGITS
-    off = offsets.astype(jnp.int32)
-    hi = jnp.zeros((B, W), jnp.int32)
-    lo = jnp.zeros((B, W), jnp.int32)
-    ok = jnp.ones((B, W), jnp.bool_)
-    for j in range(HI_DIGITS):
-        hi = hi * 20 + off[:, j:j + W]
-    for j in range(LO_DIGITS):
-        lo = lo * 20 + off[:, HI_DIGITS + j:HI_DIGITS + j + W]
-    for j in range(K):
-        ok = ok & (off[:, j:j + W] < 20)
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
-    ok = ok & (pos < lengths[:, None] - K)
+    if L <= MM_ENCODE_MAX_L:
+        # Windowed positional encoding as two banded-matrix products on
+        # the MXU: hi[b,i] = sum_j off[b,i+j]*20^(HI-1-j) is a [B,L] @
+        # [L,W] contraction with a banded weight matrix, and the
+        # all-valid test is the same band with ones over the invalid
+        # indicator.  This replaces ~16 unaligned minor-dim window slices
+        # (lane rotates over the whole tile — the dominant encode cost on
+        # TPU) with dense matmuls.  Exactness: every operand, product,
+        # and partial sum is an integer below 2^24, so f32 arithmetic is
+        # exact in any accumulation order; HIGHEST precision forces
+        # true-f32 MXU passes.  Gated by L (the bands are [L, 2W] HLO
+        # constants — fine at serving widths, prohibitive for
+        # long-contig tiles).
+        band_hi, band_lo, band_ones = _encode_bands(L, W)
+        off_f = offsets.astype(jnp.float32)
+        inv_f = (offsets >= 20).astype(jnp.float32)
+        hp = jax.lax.Precision.HIGHEST
+        codes = jax.lax.dot(off_f, jnp.asarray(np.concatenate(
+            [band_hi, band_lo], axis=1)), precision=hp)
+        n_bad = jax.lax.dot(inv_f, jnp.asarray(band_ones), precision=hp)
+        hi = codes[:, :W].astype(jnp.int32)
+        lo = codes[:, W:].astype(jnp.int32)
+        ok = (n_bad < 0.5) & (pos < lengths[:, None] - K)
+        return hi, lo, ok
+    assert (HI_DIGITS, LO_DIGITS) == (5, 3), "digit tree hardcoded for 5/3"
+    off = offsets.astype(jnp.int32)
+    # Log-tree digit pairing (wide-tile fallback): build shared 2-/4-digit
+    # partial codes instead of naive Horner loops — 5 sliced adds instead
+    # of 16, exact in int32 (max hi = 20^5-1).
+    p2 = off[:, :-1] * 20 + off[:, 1:]            # digits (i, i+1)
+    q4 = p2[:, :-2] * 400 + p2[:, 2:]             # digits (i..i+3)
+    hi = q4[:, :W] * 20 + off[:, 4:4 + W]         # digits (i..i+4)
+    lo = p2[:, 5:5 + W] * 20 + off[:, 7:7 + W]    # digits (i+5..i+7)
+    # validity: window max < 20 via the same pairing (3 sliced maxes)
+    m2 = jnp.maximum(off[:, :-1], off[:, 1:])
+    m4 = jnp.maximum(m2[:, :-2], m2[:, 2:])
+    m8 = jnp.maximum(m4[:, :W], m4[:, 4:4 + W])
+    ok = (m8 < 20) & (pos < lengths[:, None] - K)
     return hi, lo, ok
+
+
+@functools.lru_cache(maxsize=16)
+def _encode_bands(L: int, W: int):
+    """Banded f32 weight matrices for the windowed encode: column i of
+    band_hi holds 20^(HI-1-j) at row i+j (the hi digits of window i),
+    band_lo the lo digits, band_ones a K-wide band of ones."""
+    from ..params import HI_DIGITS, LO_DIGITS
+    band_hi = np.zeros((L, W), np.float32)
+    band_lo = np.zeros((L, W), np.float32)
+    band_ones = np.zeros((L, W), np.float32)
+    cols = np.arange(W)
+    for j in range(HI_DIGITS):
+        band_hi[cols + j, cols] = float(20 ** (HI_DIGITS - 1 - j))
+    for j in range(LO_DIGITS):
+        band_lo[cols + HI_DIGITS + j, cols] = float(20 ** (LO_DIGITS - 1 - j))
+    for j in range(K):
+        band_ones[cols + j, cols] = 1.0
+    return band_hi, band_lo, band_ones
 
 
 def pack_offsets(offsets: np.ndarray) -> np.ndarray:
@@ -214,6 +293,29 @@ def probe_windows(ddb: DeviceDB, hi, lo, valid):
     hi_c = jnp.where(valid, hi, 0)
     lo_c = jnp.where(valid, lo, -2)
 
+    if ddb.payload_wide is not None:
+        # Single-gather probe: the row holds [start, lo plane, fi plane,
+        # oi plane, avg_off plane, wt-bits plane].  DB keys are unique so
+        # at most one slot matches; each payload field is selected with
+        # an in-register masked sum (no second gather).
+        row = ddb.payload_wide[hi_c]               # [..., 1 + 5W]
+        Wd = (row.shape[-1] - 1) // 5
+        left = row[..., 0]
+        match = row[..., 1:1 + Wd] == lo_c[..., None]
+        found = valid & match.any(axis=-1)
+        m = match.astype(jnp.int32)
+
+        def pick(p):
+            return (row[..., 1 + p * Wd:1 + (p + 1) * Wd] * m).sum(axis=-1)
+
+        fi = jnp.where(found, pick(1), -1)
+        oi = jnp.where(found, pick(2), -1)
+        avg_off = pick(3)
+        wt = jax.lax.bitcast_convert_type(pick(4), jnp.float32)
+        pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
+        idx = jnp.where(found, left + pos, ddb.n)
+        return (found, fi, oi, avg_off, wt, idx)
+
     if ddb.lo_wide is not None:
         # Wide-bucket compare: one row gather holds the bucket start and
         # the whole sentinel-padded bucket, so matching is a vector
@@ -255,8 +357,9 @@ def probe_windows(ddb: DeviceDB, hi, lo, valid):
 
 @jax.jit
 def _probe_batch_jit(bucket_pair, lo_arr, payload, n, n_steps,
-                     offsets, lengths, lo_wide=None):
-    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide)
+                     offsets, lengths, lo_wide=None, payload_wide=None):
+    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
+                   payload_wide)
     hi, lo, valid = encode_windows(offsets, lengths)
     return probe_windows(ddb, hi, lo, valid)[:5]
 
@@ -282,7 +385,7 @@ class TpuEngine:
         d = self.ddb
         out = _probe_batch_jit(d.bucket_pair, d.lo, d.payload, d.n, d.n_steps,
                                jnp.asarray(offsets), jnp.asarray(lengths),
-                               d.lo_wide)
+                               d.lo_wide, d.payload_wide)
         return tuple(np.asarray(x) for x in out)
 
     def hits_of_batch(self, seqs: list[str], pad_to: int | None = None):
@@ -375,7 +478,8 @@ class FastAnnotator:
         while True:
             out = np.asarray(_probe_compact_jit(
                 d.bucket_pair, d.lo, d.payload, d.n, d.n_steps,
-                jnp.asarray(offsets), jnp.asarray(lengths), cap, d.lo_wide))
+                jnp.asarray(offsets), jnp.asarray(lengths), cap, d.lo_wide,
+                d.payload_wide))
             n_hits = out[:B]
             total = int(n_hits.sum())
             if total <= cap or cap >= max_cap:
@@ -456,7 +560,8 @@ def finish_best_call(n_funcs: int, fi3, cnt3, wt3, function_of) -> O.BestCall:
 
 @functools.partial(jax.jit, static_argnames=("hit_cap",))
 def _probe_compact_jit(bucket_pair, lo_arr, payload, n, n_steps,
-                       offsets, lengths, hit_cap, lo_wide=None):
+                       offsets, lengths, hit_cap, lo_wide=None,
+                       payload_wide=None):
     """Fused probe + on-device hit compaction: hits left-pack into a
     [7, hit_cap] buffer (pos, fi, oi, avg_off, wt-bits, hi, lo) in
     row-major (= per-sequence, position-ordered) order, prefixed by the
@@ -464,7 +569,8 @@ def _probe_compact_jit(bucket_pair, lo_arr, payload, n, n_steps,
     hits instead of six full [B, W] grids — the serving-path analogue of
     the compact CALL download (through a slow host link the raw grids
     dominate end-to-end time; see PERF.md)."""
-    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide)
+    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
+                   payload_wide)
     hi, lo, valid = encode_windows(offsets, lengths)
     found, fi, oi, avg_off, wt, _ = probe_windows(ddb, hi, lo, valid)
     B, W = found.shape

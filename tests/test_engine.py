@@ -166,3 +166,43 @@ def test_probe_compact_cap_retry(setup):
         assert np.array_equal(roomy[k], tight[k]), k
     assert np.array_equal(roomy["wt"], tight["wt"])
     assert roomy["row_off"][-1] == len(roomy["pos"]) > 0
+
+
+def test_probe_layout_parity(setup):
+    """All three probe layouts (single-gather payload-wide, 2-gather
+    lo-wide, binary search) must produce identical probe outputs."""
+    import jax.numpy as jnp
+    from close_kmers_tpu.core.engine import (DeviceDB, FastAnnotator,
+                                             _probe_batch_jit)
+    db, seqs, _ = setup
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    o, l = jnp.asarray(offsets), jnp.asarray(lengths)
+    outs = []
+    for kw in (dict(wide=False), dict(wide=True, wide_payload=False),
+               dict(wide=True, wide_payload=True)):
+        d = DeviceDB.from_db(db, **kw)
+        out = _probe_batch_jit(d.bucket_pair, d.lo, d.payload, d.n,
+                               d.n_steps, o, l, d.lo_wide, d.payload_wide)
+        outs.append([np.asarray(x) for x in out])
+    assert outs[2][0].any()  # some hits exist
+    for k in range(5):
+        assert np.array_equal(outs[0][k], outs[1][k]), k
+        assert np.array_equal(outs[0][k], outs[2][k]), k
+
+
+def test_encode_paths_parity(setup, monkeypatch):
+    """The banded-matmul encode (small L) and the sliced log-tree encode
+    (long-contig tiles) must agree bit-for-bit."""
+    from close_kmers_tpu.core import engine as E2
+    db, seqs, _ = setup
+    fa = E2.FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    import jax.numpy as jnp
+    o, l = jnp.asarray(offsets), jnp.asarray(lengths)
+    assert offsets.shape[1] <= E2.MM_ENCODE_MAX_L
+    a = [np.asarray(x) for x in E2.encode_windows(o, l)]  # matmul path
+    monkeypatch.setattr(E2, "MM_ENCODE_MAX_L", 0)
+    b = [np.asarray(x) for x in E2.encode_windows(o, l)]  # log-tree path
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
