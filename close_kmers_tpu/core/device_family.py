@@ -8,11 +8,12 @@ rollup on device so only the per-(sequence, family) score triples leave
 the chip:
 
 1. the kmer→family CSR is densified to a degree-padded [N+1, D] int32
-   table aligned to the signature DB rows (D = max families per kmer),
-   plus precomputed 1/degree float32 weights (SURVEY §7: precompute the
-   global 1/N degree into the DB rather than at query time);
-2. the probe's matched row index gathers each hit's family row and
-   weight; (sequence, family) pairs are stable-sorted (two int32 keys —
+   table aligned to the signature DB rows (D = max families per kmer);
+   the 1/N degree weight is recomputed on device from the row's non-pad
+   count (bit-identical to an IEEE f32 1/n table lookup, one less
+   gather op);
+2. the probe's matched row index gathers each hit's family row;
+   (sequence, family) pairs are stable-sorted (two int32 keys —
    no 64-bit packing) and segment-reduced into run triples.
 
 Exactness: hit counts are integer-exact.  weighted_total is a float32
@@ -39,19 +40,16 @@ from .engine import DeviceDB, encode_windows, probe_windows
 @dataclasses.dataclass
 class DeviceFamilyDB:
     fam: jax.Array      # i32[N+1, D] family ids, -1 padded
-    inv_deg: jax.Array  # f32[N+1] = 1/degree (0 for unmapped kmers)
     d: int
 
     @classmethod
     def from_mapping(cls, db: SignatureDB, mapping, device=None) -> "DeviceFamilyDB":
         keys, offs, vals = mapping.fam_csr()
         n = len(db)
-        deg = np.zeros(n + 1, dtype=np.int64)
         rows = np.searchsorted(db.keys, keys)
         ok = (rows < n) & (db.keys[np.minimum(rows, n - 1)] == keys) \
             if n else np.zeros(len(keys), bool)
         counts = (offs[1:] - offs[:-1])
-        deg[rows[ok]] = counts[ok]
         D = int(counts.max()) if len(counts) else 1
         D = max(D, 1)
         fam = np.full((n + 1, D), -1, dtype=np.int32)
@@ -60,16 +58,13 @@ class DeviceFamilyDB:
         for j in range(D):
             m = ok & (counts > j)
             fam[rows[m], j] = vals[offs[:-1][m] + j]
-        inv = np.zeros(n + 1, dtype=np.float32)
-        nz = deg > 0
-        inv[nz] = (np.float32(1.0) / np.float32(deg[nz])).astype(np.float32)
         put = functools.partial(jax.device_put, device=device)
-        return cls(put(jnp.asarray(fam)), put(jnp.asarray(inv)), D)
+        return cls(put(jnp.asarray(fam)), D)
 
 
 @functools.partial(jax.jit, static_argnames=("capf",))
 def _family_rollup_jit(bucket_pair, lo_arr, payload,
-                       n, n_steps, fam_tab, inv_deg, offsets, lengths, capf,
+                       n, n_steps, fam_tab, offsets, lengths, capf,
                        lo_wide=None, payload_wide=None):
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
                    payload_wide)
@@ -79,7 +74,12 @@ def _family_rollup_jit(bucket_pair, lo_arr, payload,
     B, W = hi.shape
     fams = fam_tab[idx]                      # [B, W, D]
     D = fams.shape[-1]
-    w = inv_deg[idx]                         # [B, W]
+    # 1/degree recomputed from the gathered row (degree = non-pad count):
+    # bit-identical to gathering the precomputed f32 inv_deg (IEEE 1/n)
+    # and saves the second gather op.
+    deg = (fams >= 0).sum(axis=-1)
+    w = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1).astype(jnp.float32),
+                  0.0)
     rows = jax.lax.broadcasted_iota(jnp.int32, (B, W, D), 0)
 
     flat_f = fams.reshape(-1)
@@ -118,7 +118,7 @@ class DeviceFamilyScorer:
         self.fdb = DeviceFamilyDB.from_mapping(db, mapping, device=device)
 
     def rollup(self, offsets: np.ndarray, lengths: np.ndarray,
-               fams_per_seq_cap: int = 64):
+               fams_per_seq_cap: int = 8):
         """Returns (n_per_seq [B], fam, count, weight arrays concatenated
         in (sequence, family-id) order).  Note: within a sequence the
         entries are family-id-ordered (sort-based), not first-hit-ordered
@@ -128,7 +128,7 @@ class DeviceFamilyScorer:
         d = self.ddb
         run_b, run_f, counts, weights, n_runs, per_seq = _family_rollup_jit(
             d.bucket_pair, d.lo, d.payload, d.n,
-            d.n_steps, self.fdb.fam, self.fdb.inv_deg,
+            d.n_steps, self.fdb.fam,
             jnp.asarray(offsets), jnp.asarray(lengths), capf, d.lo_wide,
             d.payload_wide)
         n_runs = int(n_runs)
