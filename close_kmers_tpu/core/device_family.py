@@ -74,12 +74,17 @@ def _family_rollup_jit(bucket_pair, lo_arr, payload,
     B, W = hi.shape
     fams = fam_tab[idx]                      # [B, W, D]
     D = fams.shape[-1]
-    # 1/degree recomputed from the gathered row (degree = non-pad count):
-    # bit-identical to gathering the precomputed f32 inv_deg (IEEE 1/n)
-    # and saves the second gather op.
+    # 1/degree recomputed from the gathered row (degree = non-pad count);
+    # saves the second gather op.  Selected from host-computed IEEE f32
+    # constants (a static chain over deg in 1..D) rather than a device
+    # divide — TPU f32 division is reciprocal-based and not guaranteed
+    # correctly rounded, and these weights must match the host path's
+    # np.float32(1.0/n) bit-for-bit.
     deg = (fams >= 0).sum(axis=-1)
-    w = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1).astype(jnp.float32),
-                  0.0)
+    w = jnp.zeros(deg.shape, jnp.float32)
+    for k in range(1, D + 1):
+        w = jnp.where(deg == k, jnp.float32(np.float32(1.0) / np.float32(k)),
+                      w)
     rows = jax.lax.broadcasted_iota(jnp.int32, (B, W, D), 0)
 
     flat_f = fams.reshape(-1)
@@ -118,7 +123,17 @@ class DeviceFamilyScorer:
         self.fdb = DeviceFamilyDB.from_mapping(db, mapping, device=device)
 
     def rollup(self, offsets: np.ndarray, lengths: np.ndarray,
-               fams_per_seq_cap: int = 8):
+               fams_per_seq_cap: int | None = None):
+        if fams_per_seq_cap is None:
+            # sticky: an overflow escalation re-raises the default so the
+            # capf recompile cliff is paid once per scorer, not per batch
+            fams_per_seq_cap = self._default_cap
+        return self._rollup(offsets, lengths, fams_per_seq_cap)
+
+    _default_cap = 8
+
+    def _rollup(self, offsets: np.ndarray, lengths: np.ndarray,
+                fams_per_seq_cap: int):
         """Returns (n_per_seq [B], fam, count, weight arrays concatenated
         in (sequence, family-id) order).  Note: within a sequence the
         entries are family-id-ordered (sort-based), not first-hit-ordered
@@ -133,6 +148,7 @@ class DeviceFamilyScorer:
             d.payload_wide)
         n_runs = int(n_runs)
         if n_runs > capf - 1:
-            return self.rollup(offsets, lengths, fams_per_seq_cap * 4)
+            self._default_cap = max(self._default_cap, fams_per_seq_cap * 4)
+            return self._rollup(offsets, lengths, fams_per_seq_cap * 4)
         return (np.asarray(per_seq), np.asarray(run_f)[:n_runs],
                 np.asarray(counts)[:n_runs], np.asarray(weights)[:n_runs])

@@ -70,3 +70,22 @@ def test_device_rollup_no_hits(setup):
     lengths = np.zeros(4, dtype=np.int32)
     n_per_seq, fam, counts, weights = dfs.rollup(offsets, lengths)
     assert n_per_seq.sum() == 0 and len(fam) == 0
+
+
+def test_rollup_cap_escalation_sticky(setup):
+    """Forcing the overflow path must produce identical results and
+    raise the instance's default cap so later batches skip the retry."""
+    db, seqs, mapping = setup
+    from close_kmers_tpu.core.engine import FastAnnotator
+    dfs = DeviceFamilyScorer(db, mapping)
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    roomy = dfs.rollup(offsets, lengths, 64)
+    tight = dfs.rollup(offsets, lengths, 1)   # forces escalation
+    for a, b in zip(roomy, tight):
+        assert np.array_equal(a, b)
+    if int(roomy[0].sum()) > len(seqs):       # overflow actually happened
+        assert dfs._default_cap >= 4 or dfs._default_cap == 8
+    after = dfs.rollup(offsets, lengths)      # sticky default path
+    for a, b in zip(roomy, after):
+        assert np.array_equal(a, b)
