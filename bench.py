@@ -221,12 +221,16 @@ def bench_family(db, offsets, lengths, rng):
     log(f"family warmup+compile {time.time()-t0:.1f}s")
     t0 = time.time()
     n_done = 0
+    pending = []  # pipelined: dispatch all, read at the end
     for a in range(0, min(N_QUERY, 4 * BATCH), BATCH):
         b = a + BATCH
         if b > N_QUERY:
             break
-        dfs.rollup(offsets[a:b], lengths[a:b])
+        out, capf = dfs.rollup_packed(offsets[a:b], lengths[a:b])
+        pending.append((out, b - a, capf))
         n_done += BATCH
+    for out, bsz, capf in pending:
+        assert dfs.finish_rollup(np.asarray(out), bsz, capf) is not None
     dt = time.time() - t0
     if n_done:
         log(f"family path: {n_done} proteins in {dt:.2f}s "

@@ -53,12 +53,20 @@ class KmerEngine:
         ``hits`` are oracle.Hit lists (populated only if want_hits);
         ``otu`` are finalized OtuStats (only if want_otu);
         ``best`` are BestCall (only if want_best)."""
+        return self.annotate_with_hits(items, params, want_hits, want_otu,
+                                       want_best)[0]
+
+    def annotate_with_hits(self, items, params=None, want_hits=False,
+                           want_otu=False, want_best=False):
+        """annotate() plus the batch's compact hit arrays as an explicit
+        return — concurrency-safe (no reliance on the _last_hits stash,
+        which a second caller can overwrite between annotate and read)."""
         from ..native import api as native
 
         params = params or EngineParams()
         seqs = [s for _, s in items]
         if not items:
-            return []
+            return [], dict(row_off=np.zeros(1, np.int64))
         offsets, lengths = self.fa.pad_batch(seqs)
         h = self.fa.probe_compact(offsets, lengths)
         n_calls, cs, ce, cc, cf, cw, votes = native.score_batch(
@@ -94,13 +102,15 @@ class KmerEngine:
             results.append(AnnotationResult(sid, len(seq), calls, hits, otu,
                                             best))
         self._last_hits = h  # compact hit arrays for family accumulation
-        return results
+        return results, h
 
-    def family_scores_batch(self, mapping) -> tuple:
-        """Per-sequence family score accumulation for the batch most
-        recently passed to annotate(), against ``mapping``'s CSR."""
+    def family_scores_batch(self, mapping, h=None) -> tuple:
+        """Per-sequence family score accumulation against ``mapping``'s
+        CSR.  ``h``: compact hit arrays from annotate_with_hits; defaults
+        to the most recent annotate() batch (single-caller use only)."""
         from ..native import api as native
-        h = self._last_hits
+        if h is None:
+            h = self._last_hits
         keys, offs, vals = mapping.fam_csr()
         return native.family_scores(h["code"], h["row_off"], keys, offs, vals)
 

@@ -104,14 +104,18 @@ def _family_rollup_jit(bucket_pair, lo_arr, payload,
     is_real = sb != BIG
     counts = jax.ops.segment_sum(is_real.astype(jnp.int32), rid_c, capf)
     weights = jax.ops.segment_sum(sw, rid_c, capf)
-    run_b = jax.ops.segment_min(jnp.where(is_real, sb, BIG), rid_c, capf)
     run_f = jax.ops.segment_min(jnp.where(is_real, sf, BIG), rid_c, capf)
     n_runs = jnp.sum(change & is_real)
     # per-sequence run counts for host-side slicing
     per_seq = jax.ops.segment_sum((change & is_real).astype(jnp.int32),
                                   jnp.minimum(jnp.where(is_real, sb, B), B),
                                   B + 1)[:B]
-    return run_b, run_f, counts, weights, n_runs, per_seq
+    # single packed buffer (one D2H, pipeline-friendly):
+    # [B per_seq] ++ [capf run_f] ++ [capf counts] ++ [capf wt-bits] ++ [n_runs]
+    return jnp.concatenate([
+        per_seq, run_f, counts,
+        jax.lax.bitcast_convert_type(weights, jnp.int32),
+        n_runs[None].astype(jnp.int32)])
 
 
 class DeviceFamilyScorer:
@@ -132,6 +136,38 @@ class DeviceFamilyScorer:
 
     _default_cap = 8
 
+    def rollup_packed(self, offsets: np.ndarray, lengths: np.ndarray,
+                      fams_per_seq_cap: int | None = None):
+        """Async variant: dispatches the fused rollup and returns the
+        un-transferred packed device buffer plus capf, so callers can
+        pipeline dispatch against readback.  Unpack with finish_rollup
+        (None result = cap overflow, re-dispatch with a bigger cap)."""
+        if fams_per_seq_cap is None:
+            fams_per_seq_cap = self._default_cap
+        B = offsets.shape[0]
+        capf = B * fams_per_seq_cap
+        d = self.ddb
+        out = _family_rollup_jit(
+            d.bucket_pair, d.lo, d.payload, d.n,
+            d.n_steps, self.fdb.fam,
+            jnp.asarray(offsets), jnp.asarray(lengths), capf, d.lo_wide,
+            d.payload_wide)
+        return out, capf
+
+    @staticmethod
+    def finish_rollup(out_np: np.ndarray, B: int, capf: int):
+        """Packed buffer -> (n_per_seq [B], fam, count, weight).  Returns
+        None when the run count overflowed capf (caller retries)."""
+        n_runs = int(out_np[-1])
+        if n_runs > capf - 1:
+            return None
+        per_seq = out_np[:B]
+        run_f = out_np[B:B + capf][:n_runs]
+        counts = out_np[B + capf:B + 2 * capf][:n_runs]
+        weights = out_np[B + 2 * capf:B + 3 * capf][:n_runs].copy() \
+            .view(np.float32)
+        return per_seq, run_f, counts, weights
+
     def _rollup(self, offsets: np.ndarray, lengths: np.ndarray,
                 fams_per_seq_cap: int):
         """Returns (n_per_seq [B], fam, count, weight arrays concatenated
@@ -139,16 +175,9 @@ class DeviceFamilyScorer:
         entries are family-id-ordered (sort-based), not first-hit-ordered
         like the host path."""
         B = offsets.shape[0]
-        capf = B * fams_per_seq_cap
-        d = self.ddb
-        run_b, run_f, counts, weights, n_runs, per_seq = _family_rollup_jit(
-            d.bucket_pair, d.lo, d.payload, d.n,
-            d.n_steps, self.fdb.fam,
-            jnp.asarray(offsets), jnp.asarray(lengths), capf, d.lo_wide,
-            d.payload_wide)
-        n_runs = int(n_runs)
-        if n_runs > capf - 1:
+        out, capf = self.rollup_packed(offsets, lengths, fams_per_seq_cap)
+        res = self.finish_rollup(np.asarray(out), B, capf)
+        if res is None:
             self._default_cap = max(self._default_cap, fams_per_seq_cap * 4)
             return self._rollup(offsets, lengths, fams_per_seq_cap * 4)
-        return (np.asarray(per_seq), np.asarray(run_f)[:n_runs],
-                np.asarray(counts)[:n_runs], np.asarray(weights)[:n_runs])
+        return res

@@ -62,6 +62,23 @@ class ServerContext:
         from ..utils.metrics import Metrics
         self.metrics = Metrics()
         self.checkpoint_dir = "."
+        # One compute thread: device dispatches stay serialized (one jit
+        # stream) while the event loop keeps parsing/writing other
+        # connections during a batch — the asyncio analogue of the
+        # reference's IO-thread/worker-pool split (threadpool.cc:18-45).
+        import concurrent.futures
+        self._compute = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ck-compute")
+
+    async def annotate(self, items, params, **kw):
+        """Run engine.annotate_with_hits on the compute thread; returns
+        (results, compact hit arrays).  Hits are returned explicitly —
+        with concurrent requests the engine's _last_hits stash may belong
+        to another handler by the time this caller resumes."""
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(
+            self._compute,
+            lambda: self.engine.annotate_with_hits(items, params, **kw))
 
     def checkpoint(self) -> str:
         """Persist the mutable server state (the mapping universes) to a
@@ -188,8 +205,8 @@ async def handle_query(ctx, req, body, writer):
     async for items in _fasta_batches(ctx, body):
         out = []
         ctx.metrics.inc("proteins", len(items))
-        results = eng.annotate(items, params, want_hits=details,
-                               want_otu=True, want_best=find_best)
+        results, _h = await ctx.annotate(items, params, want_hits=details,
+                                         want_otu=True, want_best=find_best)
         for r in results:
             if find_best:
                 if r.best.function:
@@ -229,12 +246,10 @@ async def handle_lookup(ctx, req, body, writer, mapping):
     async for items in _fasta_batches(ctx, body):
         out = []
         ctx.metrics.inc("proteins", len(items))
-        results = eng.annotate(items, params,
-                               want_best=find_best_match and family_mode)
+        results, h = await ctx.annotate(
+            items, params, want_best=find_best_match and family_mode)
         if family_mode:
-            out_n, fam, hits_c, weight = eng.family_scores_batch(mapping)
-        else:
-            h = eng.hits_compact()
+            out_n, fam, hits_c, weight = eng.family_scores_batch(mapping, h)
         w = 0
         for s, r in enumerate(results):
             if family_mode:
@@ -273,8 +288,8 @@ async def handle_add(ctx, req, body, writer, mapping):
     async for items in _fasta_batches(ctx, body):
         out = []
         ctx.metrics.inc("proteins", len(items))
-        results = eng.annotate(items, params, want_hits=True, want_otu=True,
-                               want_best=True)
+        results, _h = await ctx.annotate(items, params, want_hits=True,
+                                         want_otu=True, want_best=True)
         for r in results:
             if not silent:
                 out.append(f"PROTEIN-ID\t{r.seq_id}\t{r.seq_len}\n")
@@ -302,8 +317,7 @@ async def handle_matrix(ctx, req, body, writer, mapping):
     distance: dict[tuple[int, int], int] = {}
 
     async for items in _fasta_batches(ctx, body):
-        eng.annotate(items, params)
-        h = eng.hits_compact()
+        _results, h = await ctx.annotate(items, params)
         for s, (sid, seq) in enumerate(items):
             eid = mapping.encode_peg(sid)
             matrix_proteins[eid] = len(seq)
@@ -390,8 +404,8 @@ async def _process_reads(ctx, reads, params, req) -> str:
             read_frames.append((ri, frame, idxs, lens))
     if not orf_items:
         return ""
-    results = eng.annotate(orf_items, params, want_best=True)
-    out_n, fam, hits_c, weight = eng.family_scores_batch(mapping)
+    results, h = await ctx.annotate(orf_items, params, want_best=True)
+    out_n, fam, hits_c, weight = eng.family_scores_batch(mapping, h)
     row_off = np.zeros(len(orf_items) + 1, dtype=np.int64)
     np.cumsum(out_n, out=row_off[1:])
     matches = []

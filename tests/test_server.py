@@ -224,3 +224,23 @@ def test_dump_sizes(server):
     resp = http(port, b"GET /dump_sizes HTTP/1.1\n\n").decode()
     assert "memory dump" in resp
     assert "Mapping '':" in resp
+
+
+def test_concurrent_clients_identical_responses(server):
+    """Many concurrent clients hitting mixed endpoints get byte-identical
+    responses to serial requests (the compute-thread offload must not
+    cross-contaminate per-request hit state)."""
+    port, prots, fam_spec, funcs = server
+    import concurrent.futures as cf
+
+    reqs = []
+    for i, (peg, fi, genus, lf) in enumerate(fam_spec * 3):
+        body = f">c{i}\n{prots[peg]}\n>d{i}\nMKLVXX\n".encode()
+        path = ["/query", "/lookup", "/lookup?find_best_match=1"][i % 3]
+        reqs.append((path, body))
+
+    serial = [post(port, p, b) for p, b in reqs]
+    with cf.ThreadPoolExecutor(max_workers=len(reqs)) as ex:
+        concurrent = list(ex.map(lambda pb: post(port, *pb), reqs))
+    assert concurrent == serial
+    assert all("HTTP/1.1 200 OK" in r for r in serial)
