@@ -12,16 +12,18 @@ the chip:
    the 1/N degree weight is recomputed on device from the row's non-pad
    count (bit-identical to an IEEE f32 1/n table lookup, one less
    gather op);
-2. the probe's matched row index gathers each hit's family row;
-   (sequence, family) pairs are stable-sorted (two int32 keys —
-   no 64-bit packing) and segment-reduced into run triples.
+2. the probe's matched row index gathers each hit's family row; each
+   SEQUENCE's (family, weight) stream is sorted along the window axis
+   (a batched row-local sort — far cheaper than the global
+   [B*W*D]-element sort it replaced), then grouped by a short
+   lax.scan over the W*D sorted columns, and compacted per row.
 
-Exactness: hit counts are integer-exact.  weighted_total is a float32
-segment reduction whose association order XLA chooses, so it can differ
-from the reference's strictly-sequential adds in the last ulp; the
-native/host path (native.family_scores) remains the byte-exact reference
-and the server default.  Stable sorting preserves hit-then-list order
-within each segment, so any divergence is pure f32 reassociation.
+Exactness: hit counts are integer-exact.  The row sort is stable with
+the family id as the only key, so within a family group the elements
+stay in (window position, family-list) order — exactly the order the
+host path (native.family_scores) visits them — and the grouping scan
+accumulates weighted_total with strictly-sequential f32 adds.  The
+device rollup is therefore bit-identical to the host accumulation.
 """
 
 from __future__ import annotations
@@ -62,18 +64,17 @@ class DeviceFamilyDB:
         return cls(put(jnp.asarray(fam)), D)
 
 
-@functools.partial(jax.jit, static_argnames=("capf",))
-def _family_rollup_jit(bucket_pair, lo_arr, payload,
-                       n, n_steps, fam_tab, offsets, lengths, capf,
-                       lo_wide=None, payload_wide=None):
-    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
-                   payload_wide)
-    hi, lo, valid = encode_windows(offsets, lengths)
-    found, _fi, _oi, _av, _wt, idx = probe_windows(ddb, hi, lo, valid)
+def rollup_from_fams(fams, cap_seq: int):
+    """Shared rollup core: [B, W, D] gathered family rows (-1 = pad/miss)
+    -> per-sequence (family, count, weighted) triples.  Used by the
+    single-chip jit below and by the sharded annotation step
+    (parallel/sharding.py) after its cross-shard family merge.
 
-    B, W = hi.shape
-    fams = fam_tab[idx]                      # [B, W, D]
-    D = fams.shape[-1]
+    Returns a row-major int32 buffer [B, 1 + 3*cap_seq]: each row is
+    [n_per_seq, fam*cap_seq, cnt*cap_seq, wt-bits*cap_seq] — row-major so
+    a data-axis concat of per-shard results stays parseable.
+    """
+    B, W, D = fams.shape
     # 1/degree recomputed from the gathered row (degree = non-pad count);
     # saves the second gather op.  Selected from host-computed IEEE f32
     # constants (a static chain over deg in 1..D) rather than a device
@@ -85,37 +86,77 @@ def _family_rollup_jit(bucket_pair, lo_arr, payload,
     for k in range(1, D + 1):
         w = jnp.where(deg == k, jnp.float32(np.float32(1.0) / np.float32(k)),
                       w)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (B, W, D), 0)
 
-    flat_f = fams.reshape(-1)
-    flat_b = rows.reshape(-1)
-    flat_w = jnp.broadcast_to(w[:, :, None], (B, W, D)).reshape(-1)
     BIG = jnp.int32(2 ** 30)
-    ok = flat_f >= 0
-    kb = jnp.where(ok, flat_b, BIG)
-    kf = jnp.where(ok, flat_f, BIG)
-    kw = jnp.where(ok, flat_w, 0.0)
-    sb, sf, sw = jax.lax.sort((kb, kf, kw), num_keys=2, is_stable=True)
+    fam_flat = fams.reshape(B, W * D)
+    key = jnp.where(fam_flat >= 0, fam_flat, BIG)
+    wt_flat = jnp.where(fam_flat >= 0,
+                        jnp.broadcast_to(w[:, :, None], (B, W, D)
+                                         ).reshape(B, W * D), 0.0)
+    # Row-local stable sort by family id: pads (BIG) sink to the end and
+    # within a family group the (window position, family-list) order is
+    # preserved — the exact visit order of the host accumulation.
+    skey, swt = jax.lax.sort((key, wt_flat), dimension=1, num_keys=1,
+                             is_stable=True)
 
-    change = jnp.concatenate([
-        jnp.ones(1, bool), (sb[1:] != sb[:-1]) | (sf[1:] != sf[:-1])])
-    rid = jnp.cumsum(change.astype(jnp.int32)) - 1
-    rid_c = jnp.minimum(rid, capf - 1)
-    is_real = sb != BIG
-    counts = jax.ops.segment_sum(is_real.astype(jnp.int32), rid_c, capf)
-    weights = jax.ops.segment_sum(sw, rid_c, capf)
-    run_f = jax.ops.segment_min(jnp.where(is_real, sf, BIG), rid_c, capf)
-    n_runs = jnp.sum(change & is_real)
-    # per-sequence run counts for host-side slicing
-    per_seq = jax.ops.segment_sum((change & is_real).astype(jnp.int32),
-                                  jnp.minimum(jnp.where(is_real, sb, B), B),
-                                  B + 1)[:B]
-    # single packed buffer (one D2H, pipeline-friendly):
-    # [B per_seq] ++ [capf run_f] ++ [capf counts] ++ [capf wt-bits] ++ [n_runs]
+    # Grouping scan over the sorted columns: sequential f32 adds per
+    # group (bit-identical to the host path), one emission per group
+    # close, final groups flushed in the extra column.  Init zeros derive
+    # from the inputs so they carry the same varying-axes type under
+    # shard_map (see device_score._scan_score).
+    zero = jnp.zeros_like(fams[:, 0, 0], dtype=jnp.int32)
+    zf = jnp.zeros_like(w[:, 0], dtype=jnp.float32)
+
+    def step(s, x):
+        cur, cnt, ws, have = s
+        f, wv = x
+        valid_c = f < BIG
+        is_new = valid_c & (~have | (f != cur))
+        same = valid_c & have & (f == cur)
+        emit = is_new & have
+        y = (emit, cur, cnt, ws)
+        return (jnp.where(is_new, f, cur),
+                jnp.where(is_new, 1, jnp.where(same, cnt + 1, cnt)),
+                jnp.where(is_new, wv, jnp.where(same, ws + wv, ws)),
+                have | valid_c), y
+
+    (f_cur, f_cnt, f_ws, f_have), ys = jax.lax.scan(
+        step, (zero, zero, zf, zero != 0), (skey.T, swt.T))
+    emit = jnp.concatenate([ys[0].T, f_have[:, None]], axis=1)  # [B, WD+1]
+    famc = jnp.concatenate([ys[1].T, f_cur[:, None]], axis=1)
+    cntc = jnp.concatenate([ys[2].T, f_cnt[:, None]], axis=1)
+    wsc = jnp.concatenate([ys[3].T, f_ws[:, None]], axis=1)
+
+    # Per-row compaction to [B, cap_seq]: emitted groups are already in
+    # ascending-family column order, so a stable argsort on ~emit packs
+    # them left in that order.
+    n_per_seq = emit.sum(axis=1, dtype=jnp.int32)
+    order = jnp.argsort(~emit, axis=1, stable=True)[:, :cap_seq]
+    fam_d = jnp.take_along_axis(famc, order, axis=1)
+    cnt_d = jnp.take_along_axis(cntc, order, axis=1)
+    ws_d = jnp.take_along_axis(wsc, order, axis=1)
+    return jnp.concatenate(
+        [n_per_seq[:, None], fam_d, cnt_d,
+         jax.lax.bitcast_convert_type(ws_d, jnp.int32)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("cap_seq",))
+def _family_rollup_jit(bucket_pair, lo_arr, payload,
+                       n, n_steps, fam_tab, offsets, lengths, cap_seq,
+                       lo_wide=None, payload_wide=None):
+    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
+                   payload_wide)
+    hi, lo, valid = encode_windows(offsets, lengths)
+    found, _fi, _oi, _av, _wt, idx = probe_windows(ddb, hi, lo, valid)
+    fams = fam_tab[idx]                      # [B, W, D]
+    rows = rollup_from_fams(fams, cap_seq)
+    # legacy flat layout (single packed D2H buffer):
+    # [B n_per_seq] ++ [B*cap_seq fam] ++ [B*cap_seq cnt] ++ [B*cap_seq wt-bits]
+    c = cap_seq
     return jnp.concatenate([
-        per_seq, run_f, counts,
-        jax.lax.bitcast_convert_type(weights, jnp.int32),
-        n_runs[None].astype(jnp.int32)])
+        rows[:, 0], rows[:, 1:1 + c].reshape(-1),
+        rows[:, 1 + c:1 + 2 * c].reshape(-1),
+        rows[:, 1 + 2 * c:].reshape(-1)])
 
 
 class DeviceFamilyScorer:
@@ -144,29 +185,43 @@ class DeviceFamilyScorer:
         (None result = cap overflow, re-dispatch with a bigger cap)."""
         if fams_per_seq_cap is None:
             fams_per_seq_cap = self._default_cap
-        B = offsets.shape[0]
-        capf = B * fams_per_seq_cap
         d = self.ddb
         out = _family_rollup_jit(
             d.bucket_pair, d.lo, d.payload, d.n,
             d.n_steps, self.fdb.fam,
-            jnp.asarray(offsets), jnp.asarray(lengths), capf, d.lo_wide,
-            d.payload_wide)
-        return out, capf
+            jnp.asarray(offsets), jnp.asarray(lengths), fams_per_seq_cap,
+            d.lo_wide, d.payload_wide)
+        return out, fams_per_seq_cap
 
     @staticmethod
-    def finish_rollup(out_np: np.ndarray, B: int, capf: int):
-        """Packed buffer -> (n_per_seq [B], fam, count, weight).  Returns
-        None when the run count overflowed capf (caller retries)."""
-        n_runs = int(out_np[-1])
-        if n_runs > capf - 1:
+    def finish_rollup(out_np: np.ndarray, B: int, cap_seq: int):
+        """Packed buffer -> (n_per_seq [B], fam, count, weight flat arrays
+        in (sequence, family-id) order).  Returns None when any row
+        overflowed cap_seq (caller retries with a bigger cap)."""
+        n_per_seq = out_np[:B]
+        if len(n_per_seq) and int(n_per_seq.max(initial=0)) > cap_seq:
             return None
-        per_seq = out_np[:B]
-        run_f = out_np[B:B + capf][:n_runs]
-        counts = out_np[B + capf:B + 2 * capf][:n_runs]
-        weights = out_np[B + 2 * capf:B + 3 * capf][:n_runs].copy() \
+        body = out_np[B:].reshape(3, B, cap_seq)
+        mask = np.arange(cap_seq)[None, :] < n_per_seq[:, None]
+        run_f = body[0][mask]
+        counts = body[1][mask]
+        weights = body[2][mask].copy().view(np.float32)
+        return n_per_seq, run_f, counts, weights
+
+    @staticmethod
+    def finish_rollup_rows(rows_np: np.ndarray, cap_seq: int):
+        """Row-major rollup buffer (rollup_from_fams: [B, 1+3*cap_seq])
+        -> same tuple as finish_rollup; None on per-row cap overflow."""
+        n_per_seq = rows_np[:, 0]
+        if len(n_per_seq) and int(n_per_seq.max(initial=0)) > cap_seq:
+            return None
+        mask = np.arange(cap_seq)[None, :] < n_per_seq[:, None]
+        c = cap_seq
+        run_f = rows_np[:, 1:1 + c][mask]
+        counts = rows_np[:, 1 + c:1 + 2 * c][mask]
+        weights = rows_np[:, 1 + 2 * c:1 + 3 * c][mask].copy() \
             .view(np.float32)
-        return per_seq, run_f, counts, weights
+        return n_per_seq, run_f, counts, weights
 
     def _rollup(self, offsets: np.ndarray, lengths: np.ndarray,
                 fams_per_seq_cap: int):

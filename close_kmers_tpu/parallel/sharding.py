@@ -7,19 +7,21 @@ The TPU-native design (SURVEY.md §2.8) treats the signature DB as *model
 state*:
 
 * mesh axes ``("data", "table")`` — batch rows are data-parallel over
-  ``data``; the DB's sorted key space is split into contiguous row ranges
-  over ``table`` (the tensor-parallel analogue: each table shard owns a
-  key range, like an expert shard owns experts);
+  ``data``; the DB's sorted key space is split into contiguous
+  **bucket-aligned hi ranges** over ``table`` (the tensor-parallel
+  analogue: each table shard owns a key range, like an expert shard owns
+  experts).  Bucket alignment lets each shard keep the single-chip
+  engine's gather-optimized layouts — including the 1-gather
+  payload-wide rows — over just its own hi span;
 * each (data, table) device probes its batch shard against its table
   shard — every kmer key lives in exactly one shard, so merging the
   per-shard probe results is a ``psum`` over ``table`` of zero-masked
   payloads (no all-to-all routing needed);
 * outputs land sharded over ``data`` and replicated over ``table``,
-  ready for data-parallel host scoring or on-device reductions.
-
-Per-shard bucket tables: each shard rebuilds its own two-level bucket
-bounds over the full hi space (HI_CARD pairs per shard), so the local
-probe kernel is identical to the single-chip one.
+  ready for data-parallel host scoring or on-device reductions;
+* the kmer→family table (device_family.DeviceFamilyDB) shards by the
+  same row ranges, so the family rollup merges with one more psum and
+  then runs the single-chip row-sort + grouping-scan unchanged.
 """
 
 from __future__ import annotations
@@ -55,101 +57,204 @@ def make_mesh(n_data: int | None = None, n_table: int | None = None,
     return Mesh(arr, ("data", "table"))
 
 
+def _hi_range_bounds(db: SignatureDB, S: int) -> np.ndarray:
+    """Bucket-aligned shard boundaries: S+1 hi values splitting the key
+    space into contiguous ranges of ~equal key counts."""
+    n = len(db)
+    bs = db.bucket_start
+    targets = (np.arange(1, S, dtype=np.int64) * n) // S
+    mids = np.searchsorted(bs, targets, side="left").astype(np.int64)
+    return np.concatenate([[0], mids, [HI_CARD]])
+
+
 @dataclasses.dataclass
 class ShardedDB:
-    """Signature DB split into ``S`` contiguous sorted-key ranges, padded
-    to equal length M, stacked as [S, ...] arrays sharded over "table"."""
+    """Signature DB split into ``S`` contiguous bucket-aligned key
+    ranges, padded to equal length M, stacked as [S, ...] arrays sharded
+    over "table".  When the single-chip engine would use the payload-wide
+    1-gather layout, each shard carries its own wide rows spanning just
+    its hi range ([S, Hmax, 1+5W], local-hi indexed via ``hi_base``)."""
 
-    bucket_pair: jax.Array   # i32[S, HI_CARD, 2]
+    bucket_pair: jax.Array   # i32[S, HI_CARD, 2] (bounds into local rows)
     lo: jax.Array            # i32[S, M+1]
     payload: jax.Array       # i32[S, M+1, 4]
+    hi_base: jax.Array       # i32[S, 1] first hi value of each shard
     n_steps: int
-    m: int                   # rows per shard (excluding pad row)
+    m: int                   # max rows per shard (excluding pad row)
     n_shards: int
     mesh: Mesh
+    payload_wide: jax.Array | None = None   # i32[S, Hmax, 1+5W]
+    row_base: np.ndarray | None = None      # i64[S+1] global row offsets
 
     @classmethod
-    def from_db(cls, db: SignatureDB, mesh: Mesh) -> "ShardedDB":
+    def from_db(cls, db: SignatureDB, mesh: Mesh,
+                wide_payload: bool | None = None) -> "ShardedDB":
         S = mesh.shape["table"]
         n = len(db)
-        m = -(-n // S) if n else 1
-        max_bucket = 0
+        bs = db.bucket_start
+        h_bounds = _hi_range_bounds(db, S)
+        row_base = bs[h_bounds].astype(np.int64)
+        m = max(1, int(np.max(row_base[1:] - row_base[:-1]))) if n else 1
+        Hmax = max(1, int(np.max(h_bounds[1:] - h_bounds[:-1])))
+
+        WIDE = max(1, int(db.max_bucket))
+        if wide_payload is None:
+            wide_payload = (
+                n > 0 and 0 < db.max_bucket <= DeviceDB.WIDE_BUCKET_MAX
+                and S * Hmax * (1 + 5 * WIDE) * 4
+                <= S * DeviceDB.WIDE_PAYLOAD_MAX_BYTES)
+
         bp = np.zeros((S, HI_CARD, 2), dtype=np.int32)
         lo = np.full((S, m + 1), -1, dtype=np.int32)
         payload = np.zeros((S, m + 1, 4), dtype=np.int32)
         payload[:, :, 0] = -1
         payload[:, :, 1] = -1
+        pw = None
+        if wide_payload:
+            pw = np.zeros((S, Hmax, 1 + 5 * WIDE), dtype=np.int32)
+            pw[:, :, 1:1 + WIDE] = 2 ** 30   # lo-plane sentinel
+        max_bucket = 0
+        planes = (db.lo, db.fi, db.oi, db.avg_off, db.wt.view(np.int32))
         for s in range(S):
-            a, b = s * m, min((s + 1) * m, n)
-            cnt = max(0, b - a)
+            a, b = int(row_base[s]), int(row_base[s + 1])
+            cnt = b - a
+            # bucket bounds remapped to local rows; out-of-range buckets
+            # become empty (start == end after the clip)
+            loc = np.clip(bs - a, 0, cnt).astype(np.int32)
+            bp[s, :, 0] = loc[:-1]
+            bp[s, :, 1] = loc[1:]
             if cnt:
                 lo[s, :cnt] = db.lo[a:b]
                 payload[s, :cnt, 0] = db.fi[a:b]
                 payload[s, :cnt, 1] = db.oi[a:b]
                 payload[s, :cnt, 2] = db.avg_off[a:b]
                 payload[s, :cnt, 3] = db.wt[a:b].view(np.int32)
-                counts = np.bincount(db.hi[a:b], minlength=HI_CARD)
-                cum = np.cumsum(counts)
-                bp[s, :, 1] = cum
-                bp[s, 1:, 0] = cum[:-1]
-                max_bucket = max(max_bucket, int(counts.max()))
-        n_steps = max(1, math.ceil(math.log2(max_bucket + 1))) if max_bucket else 1
+                h0, h1 = int(h_bounds[s]), int(h_bounds[s + 1])
+                starts_l = (bs[h0:h1] - a).astype(np.int64)
+                counts_l = bs[h0 + 1:h1 + 1] - bs[h0:h1]
+                max_bucket = max(max_bucket, int(counts_l.max(initial=0)))
+                if pw is not None:
+                    pw[s, :h1 - h0, 0] = starts_l
+                    for j in range(WIDE):
+                        mk = counts_l > j
+                        rows = a + starts_l[mk] + j
+                        for p, plane in enumerate(planes):
+                            pw[s, :h1 - h0][mk, 1 + p * WIDE + j] = \
+                                plane[rows]
+        n_steps = max(1, math.ceil(math.log2(max_bucket + 1))) \
+            if max_bucket else 1
+        hi_base = h_bounds[:-1].astype(np.int32).reshape(S, 1)
 
         shard = NamedSharding(mesh, P("table", None))
         put = lambda a: jax.device_put(jnp.asarray(a), shard)
-        return cls(put(bp), put(lo), put(payload), n_steps, m, S, mesh)
+        return cls(put(bp), put(lo), put(payload), put(hi_base),
+                   n_steps, m, S, mesh,
+                   payload_wide=put(pw) if pw is not None else None,
+                   row_base=row_base)
+
+    def probe_args(self):
+        return (self.bucket_pair, self.lo, self.payload, self.hi_base,
+                self.payload_wide)
 
 
-def _local_probe(bp, lo, payload, offsets, lengths, *, n_steps, m):
-    """Per-device body: probe the local batch shard against the local
-    table shard and zero-mask payloads for the cross-shard psum."""
-    ddb = DeviceDB(bp[0], lo[0], payload[0], n_steps, m)
+def _local_probe_full(bp, lo, payload, hi_base, pw, offsets, lengths, *,
+                      n_steps, m):
+    """Per-device probe against the local table shard.  Returns the
+    UNMERGED local results plus (hi_q, lo_q): found/payloads are zero
+    outside the shard's key range; idx is the local row (m = miss)."""
     hi_q, lo_q, valid = encode_windows(offsets, lengths)
-    found, p_fi, p_oi, p_av, p_wt, _ = probe_windows(ddb, hi_q, lo_q, valid)
-    fnd = found.astype(jnp.int32)
-    out = (
-        jax.lax.psum(fnd, "table"),
+    if pw is not None:
+        # shard-local payload-wide rows: localize hi and mask the range
+        Hmax = pw.shape[1]
+        hi_loc = hi_q - hi_base[0, 0]
+        in_r = (hi_loc >= 0) & (hi_loc < Hmax)
+        ddb = DeviceDB(bp[0], lo[0], payload[0], n_steps, m,
+                       None, pw[0])
+        found, p_fi, p_oi, p_av, p_wt, idx = probe_windows(
+            ddb, jnp.clip(hi_loc, 0, Hmax - 1), lo_q, valid & in_r)
+    else:
+        ddb = DeviceDB(bp[0], lo[0], payload[0], n_steps, m)
+        found, p_fi, p_oi, p_av, p_wt, idx = probe_windows(
+            ddb, hi_q, lo_q, valid)
+    return found, p_fi, p_oi, p_av, p_wt, idx, hi_q, lo_q
+
+
+def _merge_probe(found, p_fi, p_oi, p_av, p_wt):
+    """psum-merge per-shard probe results (each key lives in exactly one
+    shard, so masked sums reconstruct the single-chip fields)."""
+    return (
+        jax.lax.psum(found.astype(jnp.int32), "table"),
         jax.lax.psum(jnp.where(found, p_fi, 0), "table"),
         jax.lax.psum(jnp.where(found, p_oi, 0), "table"),
         jax.lax.psum(jnp.where(found, p_av, 0), "table"),
         jax.lax.psum(jnp.where(found, p_wt, 0.0), "table"),
-        hi_q, lo_q,
     )
-    return out
+
+
+def _local_probe(bp, lo, payload, hi_base, pw, offsets, lengths, *,
+                 n_steps, m):
+    """Probe + cross-shard merge (the original 7-tuple interface)."""
+    found, p_fi, p_oi, p_av, p_wt, _idx, hi_q, lo_q = _local_probe_full(
+        bp, lo, payload, hi_base, pw, offsets, lengths,
+        n_steps=n_steps, m=m)
+    return _merge_probe(found, p_fi, p_oi, p_av, p_wt) + (hi_q, lo_q)
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "m", "mesh"))
-def _probe_sharded_jit(bp, lo, payload, n_steps, m, mesh,
+def _probe_sharded_jit(bp, lo, payload, hi_base, pw, n_steps, m, mesh,
                        offsets, lengths):
     fn = jax.shard_map(
         functools.partial(_local_probe, n_steps=n_steps, m=m),
         mesh=mesh,
         in_specs=(P("table", None, None), P("table", None),
-                  P("table", None, None), P("data", None), P("data")),
+                  P("table", None, None), P("table", None),
+                  P("table", None, None) if pw is not None else P(),
+                  P("data", None), P("data")),
         out_specs=(P("data", None),) * 7,
     )
-    return fn(bp, lo, payload, offsets, lengths)
+    return fn(bp, lo, payload, hi_base, pw, offsets, lengths)
 
 
 def probe_sharded(sdb: ShardedDB, offsets, lengths):
     """Probe a [B, L] batch against the sharded DB.  Returns
     (found, fi, oi, avg_off, wt, hi, lo) with found as int32 0/1;
     batch rows must be divisible by the data axis size."""
-    return _probe_sharded_jit(sdb.bucket_pair, sdb.lo, sdb.payload,
+    return _probe_sharded_jit(*sdb.probe_args(),
                               sdb.n_steps, sdb.m,
                               sdb.mesh, jnp.asarray(offsets),
                               jnp.asarray(lengths))
 
 
-def _annotate_step_local(bp, lo, payload, offsets, lengths, *, n_steps, m):
+def shard_fam_table(fam_np: np.ndarray, sdb: ShardedDB) -> jax.Array:
+    """Split a [N+1, D] kmer→family table (device_family.DeviceFamilyDB
+    layout: row i = families of DB row i, -1 padded, last row = miss) by
+    the ShardedDB's row ranges into [S, M+1, D] sharded over "table"."""
+    S, m = sdb.n_shards, sdb.m
+    D = fam_np.shape[1]
+    out = np.full((S, m + 1, D), -1, dtype=np.int32)
+    rb = sdb.row_base
+    for s in range(S):
+        a, b = int(rb[s]), int(rb[s + 1])
+        if b > a:
+            out[s, :b - a] = fam_np[a:b]
+    shard = NamedSharding(sdb.mesh, P("table", None, None))
+    return jax.device_put(jnp.asarray(out), shard)
+
+
+def _annotate_step_local(bp, lo, payload, hi_base, pw, fam_tab,
+                         offsets, lengths, *, n_steps, m, cap_seq):
     """One full device-side annotation step: probe + psum merge + the
-    complete run/gap/two-hit scoring scan + per-sequence reductions.
-    This is the framework's "training step" analogue — the compute graph
-    the driver dry-runs over an N-device mesh."""
+    complete run/gap/two-hit scoring scan + per-sequence reductions +
+    (when fam_tab is present) the cross-shard family rollup.  This is the
+    framework's "training step" analogue — the compute graph the driver
+    dry-runs over an N-device mesh."""
     from ..core.device_score import _scan_score
 
-    found, p_fi, p_oi, p_av, p_wt, hi_q, lo_q = _local_probe(
-        bp, lo, payload, offsets, lengths, n_steps=n_steps, m=m)
+    lfound, l_fi, l_oi, l_av, l_wt, l_idx, hi_q, lo_q = _local_probe_full(
+        bp, lo, payload, hi_base, pw, offsets, lengths,
+        n_steps=n_steps, m=m)
+    found, p_fi, p_oi, p_av, p_wt = _merge_probe(
+        lfound, l_fi, l_oi, l_av, l_wt)
     fnd = found > 0
     n_hits = jnp.sum(found, axis=1)
     weighted = jnp.sum(jnp.where(fnd, p_wt, 0.0), axis=1)
@@ -165,29 +270,49 @@ def _annotate_step_local(bp, lo, payload, offsets, lengths, *, n_steps, m):
     one_hot = jax.nn.one_hot(f_mod, NFUNC_TILE + 1, dtype=jnp.float32)
     func_wt = jnp.einsum("bwf,bw->bf", one_hot,
                          jnp.where(fnd, p_wt, 0.0))
-    return n_hits, weighted, func_wt[:, :NFUNC_TILE], n_calls, call_wt
+    outs = (n_hits, weighted, func_wt[:, :NFUNC_TILE], n_calls, call_wt)
+    if fam_tab is not None:
+        from ..core.device_family import rollup_from_fams
+        # local family gather (miss rows gather the -1 pad row), then a
+        # +1/-1 shifted psum merges shards (exactly one shard can hit)
+        fams_l = fam_tab[0][l_idx]                     # [B, W, D]
+        contrib = jnp.where(lfound[..., None], fams_l + 1, 0)
+        fams = jax.lax.psum(contrib, "table") - 1
+        outs = outs + (rollup_from_fams(fams, cap_seq),)
+    return outs
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "m", "mesh"))
-def _annotate_step_jit(bp, lo, payload, n_steps, m, mesh,
-                       offsets, lengths):
+@functools.partial(jax.jit,
+                   static_argnames=("n_steps", "m", "mesh", "cap_seq"))
+def _annotate_step_jit(bp, lo, payload, hi_base, pw, fam_tab,
+                       n_steps, m, mesh, cap_seq, offsets, lengths):
+    n_out = 5 + (1 if fam_tab is not None else 0)
     fn = jax.shard_map(
-        functools.partial(_annotate_step_local, n_steps=n_steps, m=m),
+        functools.partial(_annotate_step_local, n_steps=n_steps, m=m,
+                          cap_seq=cap_seq),
         mesh=mesh,
         in_specs=(P("table", None, None), P("table", None),
-                  P("table", None, None), P("data", None), P("data")),
+                  P("table", None, None), P("table", None),
+                  P("table", None, None) if pw is not None else P(),
+                  P("table", None, None) if fam_tab is not None else P(),
+                  P("data", None), P("data")),
         out_specs=(P("data"), P("data"), P("data", None), P("data"),
-                   P("data")),
+                   P("data")) + ((P("data"),) if fam_tab is not None
+                                 else ()),
     )
-    return fn(bp, lo, payload, offsets, lengths)
+    return fn(bp, lo, payload, hi_base, pw, fam_tab, offsets, lengths)
 
 
-def annotate_step_sharded(sdb: ShardedDB, offsets, lengths):
+def annotate_step_sharded(sdb: ShardedDB, offsets, lengths,
+                          fam_shards: jax.Array | None = None,
+                          cap_seq: int = 8):
     """Full jitted multi-chip annotation step (probe + merge + on-device
-    score reductions)."""
-    return _annotate_step_jit(sdb.bucket_pair, sdb.lo, sdb.payload,
+    score reductions; plus the family rollup when ``fam_shards`` — from
+    :func:`shard_fam_table` — is given, appending the packed rollup
+    buffer of device_family.rollup_from_fams to the outputs)."""
+    return _annotate_step_jit(*sdb.probe_args(), fam_shards,
                               sdb.n_steps, sdb.m,
-                              sdb.mesh, jnp.asarray(offsets),
+                              sdb.mesh, cap_seq, jnp.asarray(offsets),
                               jnp.asarray(lengths))
 
 

@@ -44,7 +44,9 @@ def test_device_rollup_matches_host(setup):
         assert set(got) == set(want), s
         for fid in want:
             assert got[fid][0] == want[fid][0]          # counts exact
-            assert got[fid][1] == pytest.approx(want[fid][1], rel=1e-5)
+            # the row-sorted grouping scan adds weights in the host
+            # path's exact visit order — bit-identical f32 sums
+            assert got[fid][1] == want[fid][1]
         # device entries are family-id ordered within a sequence
         assert [int(fam[k + i]) for i in range(n)] == sorted(got)
         k += n

@@ -82,3 +82,59 @@ def test_sharded_db_row_ranges(corpus):
     lo = np.asarray(sdb.lo)[:, :-1]
     valid_rows = (lo >= 0).sum()
     assert valid_rows == len(db)
+    # bucket-aligned ranges: row boundaries fall on bucket boundaries
+    assert sdb.row_base[0] == 0 and sdb.row_base[-1] == len(db)
+    assert np.isin(sdb.row_base, db.bucket_start).all()
+
+
+@pytest.mark.parametrize("wide", [True, False])
+def test_sharded_probe_wide_vs_narrow(corpus, wide):
+    """The per-shard payload-wide 1-gather layout must agree with the
+    per-shard binary-search layout exactly."""
+    db, seqs = corpus
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    want = fa.probe_compact(offsets, lengths)
+
+    mesh = make_mesh(2, 4)
+    se = ShardedEngine(db, mesh)
+    se.sdb = ShardedDB.from_db(db, mesh, wide_payload=wide)
+    assert (se.sdb.payload_wide is not None) == wide
+    got = se.probe_compact(offsets, lengths)
+    for k in ("pos", "fi", "oi", "avg_off", "code", "row_off"):
+        assert np.array_equal(got[k], want[k]), k
+    assert np.array_equal(np.float32(got["wt"]), np.float32(want["wt"]))
+
+
+def test_sharded_family_rollup_matches_single_chip(corpus):
+    """The sharded annotation step's family rollup must be bit-identical
+    to the single-chip device rollup (which itself is bit-identical to
+    the host accumulation)."""
+    from close_kmers_tpu.core.device_family import (
+        DeviceFamilyDB, DeviceFamilyScorer)
+    from close_kmers_tpu.db.family_db import KmerFamilyMapping
+    from close_kmers_tpu.parallel.sharding import shard_fam_table
+
+    db, seqs = corpus
+    rng = np.random.default_rng(7)
+    mapping = KmerFamilyMapping()
+    for k in db.keys:
+        for fid in set(rng.integers(0, 40, size=rng.integers(1, 5)).tolist()):
+            mapping.add_fam_mapping(int(fid), int(k))
+
+    dfs = DeviceFamilyScorer(db, mapping)
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    want = dfs.rollup(offsets, lengths, fams_per_seq_cap=64)
+
+    mesh = make_mesh(2, 4)
+    sdb = ShardedDB.from_db(db, mesh)
+    fam_np = np.asarray(dfs.fdb.fam)
+    fam_sh = shard_fam_table(fam_np, sdb)
+    outs = annotate_step_sharded(sdb, offsets, lengths,
+                                 fam_shards=fam_sh, cap_seq=64)
+    assert len(outs) == 6
+    got = DeviceFamilyScorer.finish_rollup_rows(np.asarray(outs[5]), 64)
+    assert got is not None
+    for a, b in zip(got, want):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
