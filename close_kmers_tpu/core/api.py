@@ -32,9 +32,17 @@ class AnnotationResult:
 class KmerEngine:
     """Batch annotation engine with reference-exact semantics."""
 
-    def __init__(self, db: SignatureDB, device=None, mesh=None):
+    def __init__(self, db: SignatureDB, device=None, mesh=None,
+                 device_family: bool = True,
+                 device_family_min: int | None = None):
         """``mesh``: optional jax Mesh — probe against a range-sharded DB
-        over its ("data","table") axes instead of one device."""
+        over its ("data","table") axes instead of one device.
+        ``device_family``: allow the fused device calls+family-rollup
+        path for family-mode lookups (annotate_family);
+        ``device_family_min``: minimum mapping size (distinct kmers) to
+        justify the device fam-table upload (default env
+        CLOSE_KMERS_DEVICE_FAMILY_MIN or 50000)."""
+        import os
         self.db = db
         if mesh is not None:
             from ..parallel.sharding import ShardedEngine
@@ -42,6 +50,10 @@ class KmerEngine:
         else:
             self.fa = FastAnnotator(db, device=device)
         self.function_of = db.function_of
+        self.device_family = device_family
+        self.device_family_min = device_family_min if device_family_min \
+            is not None else int(os.environ.get(
+                "CLOSE_KMERS_DEVICE_FAMILY_MIN", 50_000))
 
     # -- core batch annotation ----------------------------------------------
 
@@ -103,6 +115,116 @@ class KmerEngine:
                                             best))
         self._last_hits = h  # compact hit arrays for family accumulation
         return results, h
+
+    # -- family-mode lookup (calls + family scores in one device pass) ------
+
+    DEVICE_FAMILY_MAX_D = 32   # dense fam-table fan-out bound (memory)
+
+    def _device_family_scorer(self, mapping):
+        """DeviceFamilyScorer for ``mapping``, cached on the mapping and
+        invalidated when its CSR rebuilds (every add_fam_mapping clears
+        the CSR).  None when the device path doesn't apply: sharded
+        engine, disabled, mapping too small to justify the fam-table
+        upload, or per-kmer family fan-out too large to densify."""
+        if not self.device_family:
+            return None
+        ddb = getattr(self.fa, "ddb", None)
+        if ddb is None:
+            return None
+        csr = mapping.fam_csr()
+        if len(csr[0]) < self.device_family_min:
+            return None
+        cached = getattr(mapping, "_device_scorer", None)
+        if cached is not None and cached[0] is csr:
+            return cached[1]
+        from .device_family import DeviceFamilyScorer
+        dfs = DeviceFamilyScorer(self.db, mapping, ddb=ddb)
+        if dfs.fdb.d > self.DEVICE_FAMILY_MAX_D:
+            dfs = None
+        mapping._device_scorer = (csr, dfs)
+        return dfs
+
+    def annotate_family(self, items, mapping,
+                        params: EngineParams | None = None,
+                        want_best: bool = False):
+        """Family-mode batch: (results, seq_scores) where seq_scores[s]
+        is {family_id: SeqScore} in FIRST-HIT order — byte-compatible
+        with family.accumulate_family_scores over the host hit path.
+
+        Uses the fused device calls+rollup program (one probe, ~100 B
+        D2H per protein instead of the KB-scale compact hit download)
+        when the mapping qualifies; otherwise the compact-hit host path.
+        """
+        from ..native import api as native
+        from .family import SeqScore
+
+        params = params or EngineParams()
+        dfs = self._device_family_scorer(mapping) if items else None
+        if dfs is None:
+            results, h = self.annotate_with_hits(items, params,
+                                                 want_best=want_best)
+            out_n, fam, hits_c, weight = self.family_scores_batch(mapping, h)
+            seq_scores = []
+            w = 0
+            for s in range(len(items)):
+                n = int(out_n[s])
+                seq_scores.append({
+                    int(fam[w + i]): SeqScore(int(hits_c[w + i]),
+                                              int(hits_c[w + i]),
+                                              np.float32(weight[w + i]))
+                    for i in range(n)})
+                w += n
+            return results, seq_scores
+
+        from .device_family import DeviceFamilyScorer
+        from .device_score import DeviceScorer
+
+        seqs = [s for _, s in items]
+        offsets, lengths = self.fa.pad_batch(seqs)
+        B = offsets.shape[0]
+        ccap = 4
+        fcap = None
+        while True:
+            calls_dev, call_cap, rows_dev, capf = dfs.score_family_packed(
+                offsets, lengths, params, ccap, fcap)
+            dense = DeviceScorer.unpack_dense(
+                np.asarray(calls_dev), B, call_cap)
+            roll = DeviceFamilyScorer.finish_rollup_rows(
+                np.asarray(rows_dev), capf)
+            if dense is None:
+                ccap *= 4
+                continue
+            if roll is None:
+                fcap = capf * 4
+                dfs._default_cap = max(dfs._default_cap, fcap)
+                continue
+            break
+        n_calls, cs, ce, cc, cf, cw = dense
+        if want_best:
+            nf, ofi, ocnt, owt = native.best_call_batch(
+                n_calls, cs, ce, cc, cf, cw)
+        results = []
+        for s, (sid, seq) in enumerate(items):
+            calls = [O.Call(int(cs[s, i]), int(ce[s, i]), int(cc[s, i]),
+                            int(cf[s, i]), np.float32(cw[s, i]))
+                     for i in range(int(n_calls[s]))]
+            best = finish_best_call(int(nf[s]), ofi[s], ocnt[s], owt[s],
+                                    self.function_of) if want_best else None
+            results.append(AnnotationResult(sid, len(seq), calls, None,
+                                            None, best))
+        n_per, fam, counts, weights, first = roll
+        seq_scores = []
+        k = 0
+        for s in range(B):
+            n = int(n_per[s])
+            order = np.argsort(first[k:k + n], kind="stable")
+            seq_scores.append({
+                int(fam[k + i]): SeqScore(int(counts[k + i]),
+                                          int(counts[k + i]),
+                                          np.float32(weights[k + i]))
+                for i in order})
+            k += n
+        return results, seq_scores
 
     def family_scores_batch(self, mapping, h=None) -> tuple:
         """Per-sequence family score accumulation against ``mapping``'s

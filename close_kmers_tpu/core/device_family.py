@@ -70,9 +70,13 @@ def rollup_from_fams(fams, cap_seq: int):
     single-chip jit below and by the sharded annotation step
     (parallel/sharding.py) after its cross-shard family merge.
 
-    Returns a row-major int32 buffer [B, 1 + 3*cap_seq]: each row is
-    [n_per_seq, fam*cap_seq, cnt*cap_seq, wt-bits*cap_seq] — row-major so
-    a data-axis concat of per-shard results stays parseable.
+    Returns a row-major int32 buffer [B, 1 + 4*cap_seq]: each row is
+    [n_per_seq, fam*cap_seq, cnt*cap_seq, wt-bits*cap_seq, first*cap_seq]
+    — row-major so a data-axis concat of per-shard results stays
+    parseable.  ``first`` is each family's first-hit flat (window*D +
+    list) position, letting hosts rebuild the reference's first-hit
+    accumulation order (lookup_request.cc:446-469) exactly: downstream
+    tie-breaking and PGF-rollup f32 ordering depend on it.
     """
     B, W, D = fams.shape
     # 1/degree recomputed from the gathered row (degree = non-pad count);
@@ -95,9 +99,12 @@ def rollup_from_fams(fams, cap_seq: int):
                                          ).reshape(B, W * D), 0.0)
     # Row-local stable sort by family id: pads (BIG) sink to the end and
     # within a family group the (window position, family-list) order is
-    # preserved — the exact visit order of the host accumulation.
-    skey, swt = jax.lax.sort((key, wt_flat), dimension=1, num_keys=1,
-                             is_stable=True)
+    # preserved — the exact visit order of the host accumulation.  The
+    # flat position rides along so each group knows its first hit.
+    pos_flat = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (B, W * D), 1), (B, W * D))
+    skey, swt, spos = jax.lax.sort((key, wt_flat, pos_flat), dimension=1,
+                                   num_keys=1, is_stable=True)
 
     # Grouping scan over the sorted columns: sequential f32 adds per
     # group (bit-identical to the host path), one emission per group
@@ -108,24 +115,26 @@ def rollup_from_fams(fams, cap_seq: int):
     zf = jnp.zeros_like(w[:, 0], dtype=jnp.float32)
 
     def step(s, x):
-        cur, cnt, ws, have = s
-        f, wv = x
+        cur, cnt, ws, first, have = s
+        f, wv, pv = x
         valid_c = f < BIG
         is_new = valid_c & (~have | (f != cur))
         same = valid_c & have & (f == cur)
         emit = is_new & have
-        y = (emit, cur, cnt, ws)
+        y = (emit, cur, cnt, ws, first)
         return (jnp.where(is_new, f, cur),
                 jnp.where(is_new, 1, jnp.where(same, cnt + 1, cnt)),
                 jnp.where(is_new, wv, jnp.where(same, ws + wv, ws)),
+                jnp.where(is_new, pv, first),
                 have | valid_c), y
 
-    (f_cur, f_cnt, f_ws, f_have), ys = jax.lax.scan(
-        step, (zero, zero, zf, zero != 0), (skey.T, swt.T))
+    (f_cur, f_cnt, f_ws, f_first, f_have), ys = jax.lax.scan(
+        step, (zero, zero, zf, zero, zero != 0), (skey.T, swt.T, spos.T))
     emit = jnp.concatenate([ys[0].T, f_have[:, None]], axis=1)  # [B, WD+1]
     famc = jnp.concatenate([ys[1].T, f_cur[:, None]], axis=1)
     cntc = jnp.concatenate([ys[2].T, f_cnt[:, None]], axis=1)
     wsc = jnp.concatenate([ys[3].T, f_ws[:, None]], axis=1)
+    firstc = jnp.concatenate([ys[4].T, f_first[:, None]], axis=1)
 
     # Per-row compaction to [B, cap_seq]: emitted groups are already in
     # ascending-family column order, so a stable argsort on ~emit packs
@@ -135,9 +144,10 @@ def rollup_from_fams(fams, cap_seq: int):
     fam_d = jnp.take_along_axis(famc, order, axis=1)
     cnt_d = jnp.take_along_axis(cntc, order, axis=1)
     ws_d = jnp.take_along_axis(wsc, order, axis=1)
+    first_d = jnp.take_along_axis(firstc, order, axis=1)
     return jnp.concatenate(
         [n_per_seq[:, None], fam_d, cnt_d,
-         jax.lax.bitcast_convert_type(ws_d, jnp.int32)], axis=1)
+         jax.lax.bitcast_convert_type(ws_d, jnp.int32), first_d], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("cap_seq",))
@@ -150,21 +160,64 @@ def _family_rollup_jit(bucket_pair, lo_arr, payload,
     found, _fi, _oi, _av, _wt, idx = probe_windows(ddb, hi, lo, valid)
     fams = fam_tab[idx]                      # [B, W, D]
     rows = rollup_from_fams(fams, cap_seq)
-    # legacy flat layout (single packed D2H buffer):
-    # [B n_per_seq] ++ [B*cap_seq fam] ++ [B*cap_seq cnt] ++ [B*cap_seq wt-bits]
+    # legacy flat layout (single packed D2H buffer): [B n_per_seq] ++
+    # [B*cap fam] ++ [B*cap cnt] ++ [B*cap wt-bits] ++ [B*cap first]
     c = cap_seq
     return jnp.concatenate([
         rows[:, 0], rows[:, 1:1 + c].reshape(-1),
         rows[:, 1 + c:1 + 2 * c].reshape(-1),
-        rows[:, 1 + 2 * c:].reshape(-1)])
+        rows[:, 1 + 2 * c:1 + 3 * c].reshape(-1),
+        rows[:, 1 + 3 * c:].reshape(-1)])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_hits", "min_weighted_hits", "max_gap",
+                     "order_constraint", "call_cap", "cap_seq"))
+def _score_family_jit(bucket_pair, lo_arr, payload, n, n_steps, fam_tab,
+                      offsets, lengths, min_hits, min_weighted_hits,
+                      max_gap, order_constraint, call_cap, cap_seq,
+                      lo_wide=None, payload_wide=None):
+    """The family-serving program: ONE probe feeding both the scoring
+    scan (packed CALL buffer, same layout as device_score._probe_score_jit)
+    and the family rollup (packed rows).  /lookup?find_best_match=1 needs
+    both, so fusing them halves the dominant gather cost."""
+    from .device_score import _scan_score
+
+    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
+                   payload_wide)
+    hi, lo, valid = encode_windows(offsets, lengths)
+    found, p_fi, _oi, p_av, p_wt, idx = probe_windows(ddb, hi, lo, valid)
+
+    emit, (c_start, c_end, c_cnt, c_fi, c_wt) = _scan_score(
+        found, p_fi, p_av, p_wt, min_hits, min_weighted_hits, max_gap,
+        order_constraint)
+    n_calls = emit.sum(axis=1, dtype=jnp.int32)
+    flat_emit = emit.reshape(-1)
+    order = jnp.argsort(~flat_emit, stable=True)[:call_cap]
+    pack = jnp.stack([
+        c_start.reshape(-1)[order].astype(jnp.int32),
+        c_end.reshape(-1)[order].astype(jnp.int32),
+        c_cnt.reshape(-1)[order].astype(jnp.int32),
+        c_fi.reshape(-1)[order].astype(jnp.int32),
+        jax.lax.bitcast_convert_type(c_wt.reshape(-1)[order], jnp.int32),
+    ])
+    calls_out = jnp.concatenate([n_calls, pack.reshape(-1)])
+
+    fams = fam_tab[idx]
+    rows = rollup_from_fams(fams, cap_seq)
+    return calls_out, rows
 
 
 class DeviceFamilyScorer:
     """Fused probe + family rollup engine."""
 
-    def __init__(self, db: SignatureDB, mapping, device=None):
+    def __init__(self, db: SignatureDB, mapping, device=None, ddb=None):
+        """``ddb``: share an existing DeviceDB (e.g. the serving
+        engine's) instead of re-uploading the signature arrays."""
         self.db = db
-        self.ddb = DeviceDB.from_db(db, device=device)
+        self.ddb = ddb if ddb is not None else DeviceDB.from_db(
+            db, device=device)
         self.fdb = DeviceFamilyDB.from_mapping(db, mapping, device=device)
 
     def rollup(self, offsets: np.ndarray, lengths: np.ndarray,
@@ -195,22 +248,23 @@ class DeviceFamilyScorer:
 
     @staticmethod
     def finish_rollup(out_np: np.ndarray, B: int, cap_seq: int):
-        """Packed buffer -> (n_per_seq [B], fam, count, weight flat arrays
-        in (sequence, family-id) order).  Returns None when any row
+        """Packed buffer -> (n_per_seq [B], fam, count, weight, first flat
+        arrays in (sequence, family-id) order).  Returns None when any row
         overflowed cap_seq (caller retries with a bigger cap)."""
         n_per_seq = out_np[:B]
         if len(n_per_seq) and int(n_per_seq.max(initial=0)) > cap_seq:
             return None
-        body = out_np[B:].reshape(3, B, cap_seq)
+        body = out_np[B:].reshape(4, B, cap_seq)
         mask = np.arange(cap_seq)[None, :] < n_per_seq[:, None]
         run_f = body[0][mask]
         counts = body[1][mask]
         weights = body[2][mask].copy().view(np.float32)
-        return n_per_seq, run_f, counts, weights
+        first = body[3][mask]
+        return n_per_seq, run_f, counts, weights, first
 
     @staticmethod
     def finish_rollup_rows(rows_np: np.ndarray, cap_seq: int):
-        """Row-major rollup buffer (rollup_from_fams: [B, 1+3*cap_seq])
+        """Row-major rollup buffer (rollup_from_fams: [B, 1+4*cap_seq])
         -> same tuple as finish_rollup; None on per-row cap overflow."""
         n_per_seq = rows_np[:, 0]
         if len(n_per_seq) and int(n_per_seq.max(initial=0)) > cap_seq:
@@ -221,14 +275,36 @@ class DeviceFamilyScorer:
         counts = rows_np[:, 1 + c:1 + 2 * c][mask]
         weights = rows_np[:, 1 + 2 * c:1 + 3 * c][mask].copy() \
             .view(np.float32)
-        return n_per_seq, run_f, counts, weights
+        first = rows_np[:, 1 + 3 * c:1 + 4 * c][mask]
+        return n_per_seq, run_f, counts, weights, first
+
+    def score_family_packed(self, offsets, lengths, params,
+                            calls_per_seq_cap: int = 4,
+                            fams_per_seq_cap: int | None = None):
+        """Fused calls + family rollup (one probe, one dispatch).
+        Returns (calls_dev, call_cap, rows_dev, cap_seq) — both device
+        buffers un-transferred for pipelining.  calls_dev parses with
+        device_score.DeviceScorer.unpack_dense, rows_dev with
+        finish_rollup_rows."""
+        if fams_per_seq_cap is None:
+            fams_per_seq_cap = self._default_cap
+        d = self.ddb
+        call_cap = offsets.shape[0] * calls_per_seq_cap
+        calls_out, rows = _score_family_jit(
+            d.bucket_pair, d.lo, d.payload, d.n, d.n_steps, self.fdb.fam,
+            jnp.asarray(offsets), jnp.asarray(lengths),
+            params.min_hits, params.min_weighted_hits, params.max_gap,
+            params.order_constraint, call_cap, fams_per_seq_cap,
+            d.lo_wide, d.payload_wide)
+        return calls_out, call_cap, rows, fams_per_seq_cap
 
     def _rollup(self, offsets: np.ndarray, lengths: np.ndarray,
                 fams_per_seq_cap: int):
-        """Returns (n_per_seq [B], fam, count, weight arrays concatenated
-        in (sequence, family-id) order).  Note: within a sequence the
-        entries are family-id-ordered (sort-based), not first-hit-ordered
-        like the host path."""
+        """Returns (n_per_seq [B], fam, count, weight, first arrays
+        concatenated in (sequence, family-id) order).  Within a sequence
+        the entries are family-id-ordered (sort-based); use ``first``
+        (first-hit flat position) to recover the host path's first-hit
+        order."""
         B = offsets.shape[0]
         out, capf = self.rollup_packed(offsets, lengths, fams_per_seq_cap)
         res = self.finish_rollup(np.asarray(out), B, capf)

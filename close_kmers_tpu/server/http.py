@@ -80,6 +80,17 @@ class ServerContext:
             self._compute,
             lambda: self.engine.annotate_with_hits(items, params, **kw))
 
+    async def annotate_family(self, items, mapping, params, **kw):
+        """Run engine.annotate_family on the compute thread; returns
+        (results, per-sequence {family_id: SeqScore} dicts in first-hit
+        order).  Picks the fused device calls+family-rollup program when
+        the mapping qualifies (one probe, ~100 B D2H per protein)."""
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(
+            self._compute,
+            lambda: self.engine.annotate_family(items, mapping, params,
+                                                **kw))
+
     def checkpoint(self) -> str:
         """Persist the mutable server state (the mapping universes) to a
         checkpoint file — the TPU-native stand-in for the reference's
@@ -246,18 +257,15 @@ async def handle_lookup(ctx, req, body, writer, mapping):
     async for items in _fasta_batches(ctx, body):
         out = []
         ctx.metrics.inc("proteins", len(items))
-        results, h = await ctx.annotate(
-            items, params, want_best=find_best_match and family_mode)
         if family_mode:
-            out_n, fam, hits_c, weight = eng.family_scores_batch(mapping, h)
-        w = 0
+            results, seq_scores = await ctx.annotate_family(
+                items, mapping, params,
+                want_best=bool(find_best_match))
+        else:
+            results, h = await ctx.annotate(items, params)
         for s, r in enumerate(results):
             if family_mode:
-                n = int(out_n[s])
-                seq_score = {int(fam[w + i]): F.SeqScore(
-                    int(hits_c[w + i]), int(hits_c[w + i]),
-                    np.float32(weight[w + i])) for i in range(n)}
-                w += n
+                seq_score = seq_scores[s]
             else:
                 a, b = int(h["row_off"][s]), int(h["row_off"][s + 1])
                 hits = [O.Hit(oI=int(h["oi"][k]), pos=int(h["pos"][k]),
@@ -404,18 +412,12 @@ async def _process_reads(ctx, reads, params, req) -> str:
             read_frames.append((ri, frame, idxs, lens))
     if not orf_items:
         return ""
-    results, h = await ctx.annotate(orf_items, params, want_best=True)
-    out_n, fam, hits_c, weight = eng.family_scores_batch(mapping, h)
-    row_off = np.zeros(len(orf_items) + 1, dtype=np.int64)
-    np.cumsum(out_n, out=row_off[1:])
+    results, seq_scores = await ctx.annotate_family(
+        orf_items, mapping, params, want_best=True)
     matches = []
     for i, r in enumerate(results):
-        a, b = int(row_off[i]), int(row_off[i + 1])
-        seq_score = {int(fam[k]): F.SeqScore(int(hits_c[k]), int(hits_c[k]),
-                                             np.float32(weight[k]))
-                     for k in range(a, b)}
         matches.append(F.find_best_family_match(
-            r.best, seq_score, mapping, kmer_hit_threshold,
+            r.best, seq_scores[i], mapping, kmer_hit_threshold,
             genus_filter=False))
 
     # best-frame selection with the running-score copy quirk

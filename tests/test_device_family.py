@@ -29,7 +29,7 @@ def test_device_rollup_matches_host(setup):
     eng = TpuEngine(db)
     fa = FastAnnotator(db)
     offsets, lengths = fa.pad_batch(seqs)
-    n_per_seq, fam, counts, weights = dfs.rollup(offsets, lengths)
+    n_per_seq, fam, counts, weights, first = dfs.rollup(offsets, lengths)
 
     hit_lists = eng.hits_of_batch(seqs)
     k = 0
@@ -49,6 +49,9 @@ def test_device_rollup_matches_host(setup):
             assert got[fid][1] == want[fid][1]
         # device entries are family-id ordered within a sequence
         assert [int(fam[k + i]) for i in range(n)] == sorted(got)
+        # the first-hit positions recover the host's insertion order
+        order = np.argsort(first[k:k + n], kind="stable")
+        assert [int(fam[k + i]) for i in order] == list(want)
         k += n
         total += n
     assert total > 50
@@ -70,8 +73,67 @@ def test_device_rollup_no_hits(setup):
     dfs = DeviceFamilyScorer(db, mapping)
     offsets = np.full((4, 64), 20, dtype=np.uint8)
     lengths = np.zeros(4, dtype=np.int32)
-    n_per_seq, fam, counts, weights = dfs.rollup(offsets, lengths)
+    n_per_seq, fam, counts, weights, first = dfs.rollup(offsets, lengths)
     assert n_per_seq.sum() == 0 and len(fam) == 0
+
+
+def test_annotate_family_device_matches_host(setup):
+    """KmerEngine.annotate_family must produce byte-identical results and
+    seq_scores (including dict ORDER — downstream tie-breaking and PGF
+    f32 rollups depend on it) whether the fused device program or the
+    compact-hit host path runs."""
+    from close_kmers_tpu.core.api import KmerEngine
+    from close_kmers_tpu.core import family as F
+    from close_kmers_tpu.db.family_db import FamilyData
+
+    db, seqs, mapping = setup
+    for fid in range(40):
+        mapping.families.append(FamilyData(
+            pgf=f"PGF_{fid % 7:08d}", plf=f"PLF_83333_{fid:08d}",
+            genus_id=83333, function=f"fn {fid % 5}", family_id=fid,
+            total_size=10 + fid, count=3))
+    items = [(f"q{i}", s) for i, s in enumerate(seqs)]
+
+    host = KmerEngine(db, device_family=False)
+    dev = KmerEngine(db, device_family=True, device_family_min=0)
+    assert host._device_family_scorer(mapping) is None
+    r_host, s_host = host.annotate_family(items, mapping, want_best=True)
+    if hasattr(mapping, "_device_scorer"):
+        del mapping._device_scorer
+    assert dev._device_family_scorer(mapping) is not None
+    r_dev, s_dev = dev.annotate_family(items, mapping, want_best=True)
+
+    assert len(s_host) == len(s_dev) == len(items)
+    for a, b in zip(s_host, s_dev):
+        assert list(a) == list(b)          # first-hit ORDER preserved
+        for fid in a:
+            assert a[fid].hit_count == b[fid].hit_count
+            assert a[fid].hit_total == b[fid].hit_total
+            assert np.float32(a[fid].weighted_total) == \
+                np.float32(b[fid].weighted_total)
+    for ra, rb in zip(r_host, r_dev):
+        assert ra.seq_id == rb.seq_id
+        assert [dataclasses_tuple(c) for c in ra.calls] == \
+            [dataclasses_tuple(c) for c in rb.calls]
+        assert (ra.best is None) == (rb.best is None)
+        if ra.best:
+            assert ra.best.function == rb.best.function
+            assert ra.best.score == rb.best.score
+            assert ra.best.weighted_score == rb.best.weighted_score
+    # the formatted outputs (what the server writes) agree byte-for-byte
+    for s, (ra, rb) in enumerate(zip(r_host, r_dev)):
+        ma = F.find_best_family_match(ra.best, s_host[s], mapping, 3,
+                                      False, 83333)
+        mb = F.find_best_family_match(rb.best, s_dev[s], mapping, 3,
+                                      False, 83333)
+        assert F.format_best_match_lookup(ra.seq_id, ma) == \
+            F.format_best_match_lookup(rb.seq_id, mb)
+        assert F.all_matches_rows(s_host[s], mapping, 3) == \
+            F.all_matches_rows(s_dev[s], mapping, 3)
+
+
+def dataclasses_tuple(c):
+    return (c.start, c.end, c.count, c.fI, np.float32(c.weighted))
 
 
 def test_rollup_cap_escalation_sticky(setup):

@@ -244,3 +244,66 @@ def test_concurrent_clients_identical_responses(server):
         concurrent = list(ex.map(lambda pb: post(port, *pb), reqs))
     assert concurrent == serial
     assert all("HTTP/1.1 200 OK" in r for r in serial)
+
+
+@pytest.fixture(scope="module")
+def server_devfam(data_dir):
+    """A second server whose engine is FORCED onto the fused device
+    calls+family-rollup path (device_family_min=0) — responses must be
+    byte-identical to the host-path server's."""
+    from close_kmers_tpu.cli.kser import load_server_context
+
+    d, prots, fam_spec, funcs = data_dir
+    ctx = load_server_context(str(d), batch_size=64)
+    ctx.engine.device_family_min = 0
+    for m in ctx.mapping_map.values():
+        if hasattr(m, "_device_scorer"):
+            del m._device_scorer
+
+    loop = asyncio.new_event_loop()
+    port_holder = {}
+    ready = threading.Event()
+
+    async def run():
+        srv = await asyncio.start_server(
+            lambda r, w: __import__(
+                "close_kmers_tpu.server.http", fromlist=["handle_connection"]
+            ).handle_connection(r, w, ctx), "127.0.0.1", 0)
+        port_holder["port"] = srv.sockets[0].getsockname()[1]
+        ready.set()
+        async with srv:
+            await ctx.stop_event.wait()
+
+    t = threading.Thread(target=lambda: loop.run_until_complete(run()),
+                         daemon=True)
+    t.start()
+    assert ready.wait(60)
+    yield port_holder["port"], ctx
+    ctx.stop_event.set()
+
+
+def test_device_family_server_byte_identical(server, server_devfam):
+    port_host, prots, fam_spec, funcs = server
+    port_dev, ctx = server_devfam
+    # every protein + a junk one, through the family endpoints
+    body = "".join(f">{p}\n{s}\n" for p, s in prots.items()).encode()
+    body += b">junk\nXXXXAAAA\n"
+    for path in ("/lookup?find_best_match=1&target_genus=Escherichia",
+                 "/lookup?find_best_match=1&allow_ambiguous_functions=1",
+                 "/lookup", "/lookup?find_reps=1"):
+        a = post(port_host, path, body)
+        b = post(port_dev, path, body)
+        assert a == b, path
+    # the /fq_lookup path routes through annotate_family too
+    table = {"A": "GCG", "C": "TGC", "D": "GAT", "E": "GAA", "F": "TTT",
+             "G": "GGT", "H": "CAT", "I": "ATT", "K": "AAA", "L": "CTG",
+             "M": "ATG", "N": "AAC", "P": "CCG", "Q": "CAG", "R": "CGT",
+             "S": "AGC", "T": "ACC", "V": "GTT", "W": "TGG", "Y": "TAT"}
+    prot = prots[fam_spec[0][0]][:40]
+    dna = "".join(table[c] for c in prot)
+    fq = f"@read1\n{dna}\n+\n{'I' * len(dna)}\n".encode()
+    assert post(port_host, "/fq_lookup", fq) == \
+        post(port_dev, "/fq_lookup", fq)
+    # the device scorer really was engaged for the root mapping
+    root = ctx.mapping_map[""]
+    assert getattr(root, "_device_scorer", (None, None))[1] is not None
