@@ -42,6 +42,16 @@ from ..db.signature_db import SignatureDB
 from . import oracle as O
 
 
+def _lane_pad(w: int) -> int:
+    """Row width for the wide gatherable layouts: the next multiple of
+    128 when the waste stays under ~1/3 (lane alignment cuts the gather
+    ~25% on v5e — scripts/gather_exp.py), else the exact width.  The
+    tables span all HI_CARD rows, so padding tiny-bucket DBs (tests, CPU
+    backends) would inflate them ~10x for no benefit."""
+    aligned = -(-w // 128) * 128
+    return aligned if aligned * 3 <= w * 4 else w
+
+
 @dataclasses.dataclass
 class DeviceDB:
     """Signature DB resident on device (single-chip form).
@@ -74,6 +84,12 @@ class DeviceDB:
     # PERF.md).  Costs HI_CARD*(1+5W)*4 bytes, so it is gated by
     # WIDE_PAYLOAD_MAX_BYTES; when None the 2-gather layout applies.
     payload_wide: jax.Array | None = None
+    # True per-bucket width W of payload_wide's planes.  The array's rows
+    # are zero-padded up to a multiple of 128 int32 (lane alignment cuts
+    # the gather ~25% on v5e — measured in scripts/gather_exp.py), so W is
+    # no longer derivable from the row shape; 0 means "unpadded, derive
+    # from shape" (the sharded path's layout).
+    wide_w: int = 0
 
     WIDE_BUCKET_MAX = 32  # memory/time tradeoff bound (HI_CARD*W*4 bytes)
     WIDE_PAYLOAD_MAX_BYTES = 2 << 30
@@ -105,8 +121,10 @@ class DeviceDB:
         payload_wide = None
         starts = db.bucket_start[:-1]
         counts = db.bucket_start[1:] - starts
+        wide_w = 0
         if wide and wide_payload and n:
-            pw = np.zeros((H, 1 + 5 * WIDE), dtype=np.int32)
+            row_w = _lane_pad(1 + 5 * WIDE)
+            pw = np.zeros((H, row_w), dtype=np.int32)
             pw[:, 0] = starts
             pw[:, 1:1 + WIDE] = 2 ** 30  # lo plane sentinel: never matches
             planes = (db.lo, db.fi, db.oi, db.avg_off, db.wt.view(np.int32))
@@ -116,8 +134,11 @@ class DeviceDB:
                 for p, plane in enumerate(planes):
                     pw[m, 1 + p * WIDE + j] = plane[rows]
             payload_wide = put(jnp.asarray(pw))
+            wide_w = WIDE
         elif wide and n:
-            lw = np.full((H, 1 + WIDE), 2 ** 30, dtype=np.int32)
+            # rows lane-padded (sentinel never matches, so no width
+            # bookkeeping is needed here)
+            lw = np.full((H, _lane_pad(1 + WIDE)), 2 ** 30, dtype=np.int32)
             lw[:, 0] = starts
             for j in range(WIDE):
                 m = counts > j
@@ -131,6 +152,7 @@ class DeviceDB:
             n=n,
             lo_wide=lo_wide,
             payload_wide=payload_wide,
+            wide_w=wide_w,
         )
 
 
@@ -282,6 +304,18 @@ def unpack_offsets(packed, L: int):
     return jnp.stack(a, axis=-1).reshape(B, L).astype(jnp.uint8)
 
 
+def _pallas_select_mode() -> str | None:
+    """Env-gated Pallas selection pass for the payload-wide probe
+    (ops/pallas_select.py): CLOSE_KMERS_PALLAS_SELECT=1 enables it
+    (interpret mode on CPU backends so tests can exercise parity),
+    0/unset keeps the XLA masked-sum selection."""
+    import os
+    v = os.environ.get("CLOSE_KMERS_PALLAS_SELECT", "0")
+    if v != "1":
+        return None
+    return "interpret" if jax.default_backend() == "cpu" else "compiled"
+
+
 def probe_windows(ddb: DeviceDB, hi, lo, valid):
     """Batched two-level probe.  Returns (found, fi, oi, avg_off, wt,
     idx), all shaped like ``hi`` (idx = matched DB row, ddb.n if none).
@@ -297,23 +331,42 @@ def probe_windows(ddb: DeviceDB, hi, lo, valid):
         # Single-gather probe: the row holds [start, lo plane, fi plane,
         # oi plane, avg_off plane, wt-bits plane].  DB keys are unique so
         # at most one slot matches; each payload field is selected with
-        # an in-register masked sum (no second gather).
-        row = ddb.payload_wide[hi_c]               # [..., 1 + 5W]
-        Wd = (row.shape[-1] - 1) // 5
-        left = row[..., 0]
-        match = row[..., 1:1 + Wd] == lo_c[..., None]
-        found = valid & match.any(axis=-1)
-        m = match.astype(jnp.int32)
+        # an in-register masked sum (no second gather).  The window axes
+        # flatten around the gather+selection: on v5e a flat [B*W]-index
+        # gather + flat selection runs ~25% faster than the [B, W]-shaped
+        # equivalent (scripts/gather_exp.py vs devperf decomposition).
+        sh = hi_c.shape
+        hif = hi_c.reshape(-1)
+        lof = lo_c.reshape(-1)
+        row = ddb.payload_wide[hif]            # [N, 1 + 5W (+ pad)]
+        Wd = ddb.wide_w or (row.shape[-1] - 1) // 5
+        mode = _pallas_select_mode()
+        if mode is not None:
+            from ..ops.pallas_select import select_wide_rows
+            sel = select_wide_rows(row, lof, Wd,
+                                   interpret=(mode == "interpret"))
+            foundf = sel[:, 0] > 0
+            fif, oif = sel[:, 1], sel[:, 2]
+            avf, wtbits = sel[:, 3], sel[:, 4]
+            idxf = sel[:, 5]
+        else:
+            left = row[:, 0]
+            match = row[:, 1:1 + Wd] == lof[:, None]
+            foundf = match.any(axis=-1)
+            m = match.astype(jnp.int32)
 
-        def pick(p):
-            return (row[..., 1 + p * Wd:1 + (p + 1) * Wd] * m).sum(axis=-1)
+            def pick(p):
+                return (row[:, 1 + p * Wd:1 + (p + 1) * Wd] * m).sum(axis=-1)
 
-        fi = jnp.where(found, pick(1), -1)
-        oi = jnp.where(found, pick(2), -1)
-        avg_off = pick(3)
-        wt = jax.lax.bitcast_convert_type(pick(4), jnp.float32)
-        pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
-        idx = jnp.where(found, left + pos, ddb.n)
+            fif, oif, avf, wtbits = pick(1), pick(2), pick(3), pick(4)
+            pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
+            idxf = left + pos
+        found = valid & foundf.reshape(sh)
+        fi = jnp.where(found, fif.reshape(sh), -1)
+        oi = jnp.where(found, oif.reshape(sh), -1)
+        avg_off = avf.reshape(sh)
+        wt = jax.lax.bitcast_convert_type(wtbits.reshape(sh), jnp.float32)
+        idx = jnp.where(found, idxf.reshape(sh), ddb.n)
         return (found, fi, oi, avg_off, wt, idx)
 
     if ddb.lo_wide is not None:
@@ -355,11 +408,12 @@ def probe_windows(ddb: DeviceDB, hi, lo, valid):
     return (found, row[..., 0], row[..., 1], row[..., 2], wt, idx)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("wide_w",))
 def _probe_batch_jit(bucket_pair, lo_arr, payload, n, n_steps,
-                     offsets, lengths, lo_wide=None, payload_wide=None):
+                     offsets, lengths, lo_wide=None, payload_wide=None,
+                     wide_w=0):
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
-                   payload_wide)
+                   payload_wide, wide_w)
     hi, lo, valid = encode_windows(offsets, lengths)
     return probe_windows(ddb, hi, lo, valid)[:5]
 
@@ -385,7 +439,7 @@ class TpuEngine:
         d = self.ddb
         out = _probe_batch_jit(d.bucket_pair, d.lo, d.payload, d.n, d.n_steps,
                                jnp.asarray(offsets), jnp.asarray(lengths),
-                               d.lo_wide, d.payload_wide)
+                               d.lo_wide, d.payload_wide, d.wide_w)
         return tuple(np.asarray(x) for x in out)
 
     def hits_of_batch(self, seqs: list[str], pad_to: int | None = None):
@@ -479,7 +533,7 @@ class FastAnnotator:
             out = np.asarray(_probe_compact_jit(
                 d.bucket_pair, d.lo, d.payload, d.n, d.n_steps,
                 jnp.asarray(offsets), jnp.asarray(lengths), cap, d.lo_wide,
-                d.payload_wide))
+                d.payload_wide, d.wide_w))
             n_hits = out[:B]
             total = int(n_hits.sum())
             if total <= cap or cap >= max_cap:
@@ -558,10 +612,10 @@ def finish_best_call(n_funcs: int, fi3, cnt3, wt3, function_of) -> O.BestCall:
     return result
 
 
-@functools.partial(jax.jit, static_argnames=("hit_cap",))
+@functools.partial(jax.jit, static_argnames=("hit_cap", "wide_w"))
 def _probe_compact_jit(bucket_pair, lo_arr, payload, n, n_steps,
                        offsets, lengths, hit_cap, lo_wide=None,
-                       payload_wide=None):
+                       payload_wide=None, wide_w=0):
     """Fused probe + on-device hit compaction: hits left-pack into a
     [7, hit_cap] buffer (pos, fi, oi, avg_off, wt-bits, hi, lo) in
     row-major (= per-sequence, position-ordered) order, prefixed by the
@@ -570,7 +624,7 @@ def _probe_compact_jit(bucket_pair, lo_arr, payload, n, n_steps,
     the compact CALL download (through a slow host link the raw grids
     dominate end-to-end time; see PERF.md)."""
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
-                   payload_wide)
+                   payload_wide, wide_w)
     hi, lo, valid = encode_windows(offsets, lengths)
     found, fi, oi, avg_off, wt, _ = probe_windows(ddb, hi, lo, valid)
     B, W = found.shape

@@ -83,8 +83,9 @@ class ShardedDB:
     m: int                   # max rows per shard (excluding pad row)
     n_shards: int
     mesh: Mesh
-    payload_wide: jax.Array | None = None   # i32[S, Hmax, 1+5W]
+    payload_wide: jax.Array | None = None   # i32[S, Hmax, 1+5W (+pad)]
     row_base: np.ndarray | None = None      # i64[S+1] global row offsets
+    wide_w: int = 0                         # true W (rows lane-padded)
 
     @classmethod
     def from_db(cls, db: SignatureDB, mesh: Mesh,
@@ -111,7 +112,9 @@ class ShardedDB:
         payload[:, :, 1] = -1
         pw = None
         if wide_payload:
-            pw = np.zeros((S, Hmax, 1 + 5 * WIDE), dtype=np.int32)
+            from ..core.engine import _lane_pad
+            row_w = _lane_pad(1 + 5 * WIDE)
+            pw = np.zeros((S, Hmax, row_w), dtype=np.int32)
             pw[:, :, 1:1 + WIDE] = 2 ** 30   # lo-plane sentinel
         max_bucket = 0
         planes = (db.lo, db.fi, db.oi, db.avg_off, db.wt.view(np.int32))
@@ -150,7 +153,8 @@ class ShardedDB:
         return cls(put(bp), put(lo), put(payload), put(hi_base),
                    n_steps, m, S, mesh,
                    payload_wide=put(pw) if pw is not None else None,
-                   row_base=row_base)
+                   row_base=row_base,
+                   wide_w=WIDE if pw is not None else 0)
 
     def probe_args(self):
         return (self.bucket_pair, self.lo, self.payload, self.hi_base,
@@ -158,7 +162,7 @@ class ShardedDB:
 
 
 def _local_probe_full(bp, lo, payload, hi_base, pw, offsets, lengths, *,
-                      n_steps, m):
+                      n_steps, m, wide_w=0):
     """Per-device probe against the local table shard.  Returns the
     UNMERGED local results plus (hi_q, lo_q): found/payloads are zero
     outside the shard's key range; idx is the local row (m = miss)."""
@@ -169,7 +173,7 @@ def _local_probe_full(bp, lo, payload, hi_base, pw, offsets, lengths, *,
         hi_loc = hi_q - hi_base[0, 0]
         in_r = (hi_loc >= 0) & (hi_loc < Hmax)
         ddb = DeviceDB(bp[0], lo[0], payload[0], n_steps, m,
-                       None, pw[0])
+                       None, pw[0], wide_w)
         found, p_fi, p_oi, p_av, p_wt, idx = probe_windows(
             ddb, jnp.clip(hi_loc, 0, Hmax - 1), lo_q, valid & in_r)
     else:
@@ -192,19 +196,21 @@ def _merge_probe(found, p_fi, p_oi, p_av, p_wt):
 
 
 def _local_probe(bp, lo, payload, hi_base, pw, offsets, lengths, *,
-                 n_steps, m):
+                 n_steps, m, wide_w=0):
     """Probe + cross-shard merge (the original 7-tuple interface)."""
     found, p_fi, p_oi, p_av, p_wt, _idx, hi_q, lo_q = _local_probe_full(
         bp, lo, payload, hi_base, pw, offsets, lengths,
-        n_steps=n_steps, m=m)
+        n_steps=n_steps, m=m, wide_w=wide_w)
     return _merge_probe(found, p_fi, p_oi, p_av, p_wt) + (hi_q, lo_q)
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "m", "mesh"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_steps", "m", "mesh", "wide_w"))
 def _probe_sharded_jit(bp, lo, payload, hi_base, pw, n_steps, m, mesh,
-                       offsets, lengths):
+                       offsets, lengths, wide_w=0):
     fn = jax.shard_map(
-        functools.partial(_local_probe, n_steps=n_steps, m=m),
+        functools.partial(_local_probe, n_steps=n_steps, m=m,
+                          wide_w=wide_w),
         mesh=mesh,
         in_specs=(P("table", None, None), P("table", None),
                   P("table", None, None), P("table", None),
@@ -222,7 +228,7 @@ def probe_sharded(sdb: ShardedDB, offsets, lengths):
     return _probe_sharded_jit(*sdb.probe_args(),
                               sdb.n_steps, sdb.m,
                               sdb.mesh, jnp.asarray(offsets),
-                              jnp.asarray(lengths))
+                              jnp.asarray(lengths), sdb.wide_w)
 
 
 def shard_fam_table(fam_np: np.ndarray, sdb: ShardedDB) -> jax.Array:
@@ -242,7 +248,8 @@ def shard_fam_table(fam_np: np.ndarray, sdb: ShardedDB) -> jax.Array:
 
 
 def _annotate_step_local(bp, lo, payload, hi_base, pw, fam_tab,
-                         offsets, lengths, *, n_steps, m, cap_seq):
+                         offsets, lengths, *, n_steps, m, cap_seq,
+                         wide_w=0):
     """One full device-side annotation step: probe + psum merge + the
     complete run/gap/two-hit scoring scan + per-sequence reductions +
     (when fam_tab is present) the cross-shard family rollup.  This is the
@@ -252,7 +259,7 @@ def _annotate_step_local(bp, lo, payload, hi_base, pw, fam_tab,
 
     lfound, l_fi, l_oi, l_av, l_wt, l_idx, hi_q, lo_q = _local_probe_full(
         bp, lo, payload, hi_base, pw, offsets, lengths,
-        n_steps=n_steps, m=m)
+        n_steps=n_steps, m=m, wide_w=wide_w)
     found, p_fi, p_oi, p_av, p_wt = _merge_probe(
         lfound, l_fi, l_oi, l_av, l_wt)
     fnd = found > 0
@@ -283,13 +290,15 @@ def _annotate_step_local(bp, lo, payload, hi_base, pw, fam_tab,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_steps", "m", "mesh", "cap_seq"))
+                   static_argnames=("n_steps", "m", "mesh", "cap_seq",
+                                    "wide_w"))
 def _annotate_step_jit(bp, lo, payload, hi_base, pw, fam_tab,
-                       n_steps, m, mesh, cap_seq, offsets, lengths):
+                       n_steps, m, mesh, cap_seq, offsets, lengths,
+                       wide_w=0):
     n_out = 5 + (1 if fam_tab is not None else 0)
     fn = jax.shard_map(
         functools.partial(_annotate_step_local, n_steps=n_steps, m=m,
-                          cap_seq=cap_seq),
+                          cap_seq=cap_seq, wide_w=wide_w),
         mesh=mesh,
         in_specs=(P("table", None, None), P("table", None),
                   P("table", None, None), P("table", None),
@@ -313,7 +322,7 @@ def annotate_step_sharded(sdb: ShardedDB, offsets, lengths,
     return _annotate_step_jit(*sdb.probe_args(), fam_shards,
                               sdb.n_steps, sdb.m,
                               sdb.mesh, cap_seq, jnp.asarray(offsets),
-                              jnp.asarray(lengths))
+                              jnp.asarray(lengths), sdb.wide_w)
 
 
 class ShardedEngine:

@@ -69,6 +69,9 @@ def measure(name, fn, *args):
 PARAMS = EngineParams()
 
 
+WIDE_W = 0  # set in main() from the DeviceDB (static: used for slicing)
+
+
 def _ddb_args(ddb):
     return (ddb.bucket_pair, ddb.lo, ddb.payload, ddb.lo_wide,
             ddb.payload_wide)
@@ -76,7 +79,7 @@ def _ddb_args(ddb):
 
 def _probe(ddb_arrs, n, n_steps, off, ln):
     bp, lo_a, pay, lw, pw = ddb_arrs
-    ddb = DeviceDB(bp, lo_a, pay, n_steps, n, lw, pw)
+    ddb = DeviceDB(bp, lo_a, pay, n_steps, n, lw, pw, WIDE_W)
     hi, lo, valid = encode_windows(off, ln)
     return probe_windows(ddb, hi, lo, valid)
 
@@ -139,6 +142,8 @@ def main():
     offsets = offsets[:B]
     lengths = lengths[:B]
     ddb = DeviceDB.from_db(db)
+    global WIDE_W
+    WIDE_W = ddb.wide_w
     arrs = _ddb_args(ddb)
     d_off = jax.device_put(jnp.asarray(offsets))
     d_len = jax.device_put(jnp.asarray(lengths))
@@ -165,7 +170,7 @@ def main():
 
         def stage_family(c, fam_tab, bp, lo_a, pay, lw, pw, off, ln):
             out = _family_rollup_jit(bp, lo_a, pay, len(db), ddb.n_steps,
-                                     fam_tab, off, ln, 8, lw, pw)
+                                     fam_tab, off, ln, 8, lw, pw, WIDE_W)
             return c + out[:B].sum().astype(jnp.float32)
 
         stages["family"] = stage_family

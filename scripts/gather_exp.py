@@ -1,0 +1,271 @@
+"""Probe-gather experiments: can we beat XLA's per-row gather issue rate?
+
+PERF.md finding: the payload-wide probe is ONE XLA gather of ~2.49M rows
+(width 111 int32) costing ~37 ms/batch — ~12-15 ns/row issue-bound,
+~10x below sequential HBM bandwidth.  This script measures candidate
+replacements with the devperf methodology (chained scalar-dependence
+calls, differenced run lengths, single scalar readback):
+
+  xla111   — the current gather (payload_wide rows, width 111)
+  xla128   — same rows zero-padded to width 128 (lane-aligned)
+  xla32    — narrow rows (width 32) for the pure issue-rate floor
+  xla8     — width 8
+  pallas   — Pallas kernel: per-row async DMA HBM->VMEM, 16-deep pipeline
+  pallasrow — Pallas kernel: dynamic-slice row loads from an HBM-resident
+              table ref (Mosaic picks the access path)
+
+Usage: python scripts/gather_exp.py [exp ...]
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+N_ROWS = int(os.environ.get("EXP_ROWS", 3_200_000))    # table rows
+N_IDX = int(os.environ.get("EXP_IDX", 2_490_000))      # probes per batch
+K_HI = 10
+K_LO = 4
+
+
+def measure(name, fn, *args):
+    jfn = jax.jit(fn)
+
+    def run(k):
+        c = jnp.float32(0)
+        t0 = time.time()
+        for _ in range(k):
+            c = jfn(c, *args)
+        v = float(np.asarray(c))
+        return time.time() - t0, v
+
+    t0 = time.time()
+    run(2)
+    print(f"  [{name}: compile+warm {time.time()-t0:.1f}s]", flush=True)
+    t_lo, _ = run(K_LO)
+    t_hi, v = run(K_HI)
+    per = (t_hi - t_lo) / (K_HI - K_LO)
+    ns_row = per / N_IDX * 1e9
+    print(f"{name:12s} {per*1000:8.2f} ms/call  {ns_row:6.2f} ns/row "
+          f"(check {v:.3g})", flush=True)
+    return per
+
+
+def xla_gather(c, table, idx):
+    rows = table[idx]                      # [N_IDX, Wd]
+    return c + rows[:, :4].sum(axis=(0, 1)).astype(jnp.float32)
+
+
+def probe_select(wd, c, table, idx, lo_q):
+    """The full payload-wide probe selection (engine.probe_windows) on a
+    [*, 1+5*wd(+pad)] row table: gather + match + 4 masked-sum picks."""
+    row = table[idx]
+    left = row[:, 0]
+    match = row[:, 1:1 + wd] == lo_q[:, None]
+    found = match.any(axis=-1)
+    m = match.astype(jnp.int32)
+
+    def pick(p):
+        return (row[:, 1 + p * wd:1 + (p + 1) * wd] * m).sum(axis=-1)
+
+    fi = jnp.where(found, pick(1), -1)
+    oi = jnp.where(found, pick(2), -1)
+    av = pick(3)
+    wt = jax.lax.bitcast_convert_type(pick(4), jnp.float32)
+    pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
+    idx2 = jnp.where(found, left + pos, 0)
+    return (c + fi.sum().astype(jnp.float32) + oi.sum().astype(jnp.float32)
+            + av.sum().astype(jnp.float32) + wt.sum()
+            + idx2.sum().astype(jnp.float32))
+
+
+def probe_two_gather(wd, c, lo_tab, pay_tab, idx, lo_q):
+    """Two-gather probe: narrow [*, 1+wd(+pad)] lo rows locate the match,
+    then a second narrow gather fetches the 4-int payload row."""
+    row = lo_tab[idx]
+    left = row[:, 0]
+    match = row[:, 1:1 + wd] == lo_q[:, None]
+    found = match.any(axis=-1)
+    pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
+    ridx = jnp.where(found, left + pos, pay_tab.shape[0] - 1)
+    pay = pay_tab[ridx]
+    fi = jnp.where(found, pay[:, 0], -1)
+    wt = jax.lax.bitcast_convert_type(pay[:, 3], jnp.float32)
+    return (c + fi.sum().astype(jnp.float32) + wt.sum()
+            + pay[:, 2].sum().astype(jnp.float32))
+
+
+def pallas_dma_gather(table, idx, width, rows_out, depth=16):
+    """Per-row DMA gather: grid over index tiles; each program issues
+    TILE row copies through a depth-`depth` rotating semaphore pipeline."""
+    TILE = 512
+
+    def kernel(idx_ref, table_ref, out_ref, sems):
+        i = pl.program_id(0)
+
+        # software pipeline: issue `depth` ahead, wait in issue order
+        def body(j, _):
+            @pl.when(j >= depth)
+            def _w():
+                r = idx_ref[i, j - depth]
+                pltpu.make_async_copy(
+                    table_ref.at[r], out_ref.at[j - depth],
+                    sems.at[j % depth]).wait()
+            r = idx_ref[i, j]
+            pltpu.make_async_copy(
+                table_ref.at[r], out_ref.at[j], sems.at[j % depth]).start()
+            return _
+
+        jax.lax.fori_loop(0, TILE, body, 0)
+
+        def tail(j, _):
+            r = idx_ref[i, TILE - depth + j]
+            pltpu.make_async_copy(
+                table_ref.at[r], out_ref.at[TILE - depth + j],
+                sems.at[j % depth]).wait()
+            return _
+
+        jax.lax.fori_loop(0, depth, tail, 0)
+
+    n_tiles = N_IDX // TILE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # table in HBM
+        out_specs=pl.BlockSpec(
+            (TILE, width), lambda i, idx_sm: (i, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((depth,))],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, width), jnp.int32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(idx.reshape(n_tiles, TILE), table)
+
+
+def main():
+    which = set(sys.argv[1:]) or {"xla111", "xla128", "xla32", "xla8",
+                                  "pallas"}
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".bench_cache", "jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, N_ROWS, size=N_IDX, dtype=np.int64)
+                      .astype(np.int32))
+    print(f"table {N_ROWS:,} rows, {N_IDX:,} probes", flush=True)
+
+    for name, width in (("xla8", 8), ("xla32", 32), ("xla111", 111),
+                        ("xla128", 128)):
+        if name not in which:
+            continue
+        tbl = jnp.asarray(
+            rng.integers(0, 100, size=(N_ROWS, width), dtype=np.int64)
+            .astype(np.int32))
+        measure(name, xla_gather, tbl, idx)
+        del tbl
+
+    WD = 22  # max bucket width of the bench DB
+    lo_q = jnp.asarray(rng.integers(0, 100, size=N_IDX, dtype=np.int64)
+                       .astype(np.int32))
+    for name, width in (("probe111", 1 + 5 * WD), ("probe128", 128)):
+        if name not in which:
+            continue
+        tbl = jnp.asarray(
+            rng.integers(0, 100, size=(N_ROWS, width), dtype=np.int64)
+            .astype(np.int32))
+        measure(name, functools.partial(probe_select, WD), tbl, idx, lo_q)
+        del tbl
+
+    if "probe128b" in which:
+        # reshape-based selection: one [N, 5, W] masked reduce instead of
+        # five lane-sliced masked sums
+        def probe_select_b(c, table, idx, lo_q):
+            wd = WD
+            row = table[idx]
+            left = row[:, 0]
+            planes = row[:, 1:1 + 5 * wd].reshape(-1, 5, wd)
+            match = planes[:, 0, :] == lo_q[:, None]
+            found = match.any(axis=-1)
+            m = match.astype(jnp.int32)
+            picks = (planes * m[:, None, :]).sum(axis=-1)   # [N, 5]
+            fi = jnp.where(found, picks[:, 1], -1)
+            oi = jnp.where(found, picks[:, 2], -1)
+            av = picks[:, 3]
+            wt = jax.lax.bitcast_convert_type(picks[:, 4], jnp.float32)
+            pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
+            idx2 = jnp.where(found, left + pos, 0)
+            return (c + fi.sum().astype(jnp.float32)
+                    + oi.sum().astype(jnp.float32)
+                    + av.sum().astype(jnp.float32) + wt.sum()
+                    + idx2.sum().astype(jnp.float32))
+
+        tbl = jnp.asarray(
+            rng.integers(0, 100, size=(N_ROWS, 128), dtype=np.int64)
+            .astype(np.int32))
+        measure("probe128b", probe_select_b, tbl, idx, lo_q)
+        del tbl
+
+    if "probepal" in which:
+        # gather + Pallas single-pass selection (128-padded rows)
+        from close_kmers_tpu.ops.pallas_select import select_wide_rows
+
+        def probe_pallas(c, table, idx, lo_q):
+            rows = table[idx]
+            sel = select_wide_rows(rows, lo_q, WD)
+            found = sel[:, 0] > 0
+            fi = jnp.where(found, sel[:, 1], -1)
+            oi = jnp.where(found, sel[:, 2], -1)
+            wt = jax.lax.bitcast_convert_type(sel[:, 4], jnp.float32)
+            return (c + fi.sum().astype(jnp.float32)
+                    + oi.sum().astype(jnp.float32)
+                    + sel[:, 3].sum().astype(jnp.float32) + wt.sum()
+                    + jnp.where(found, sel[:, 5], 0
+                                ).sum().astype(jnp.float32))
+
+        tbl = jnp.asarray(
+            rng.integers(0, 100, size=(N_ROWS, 128), dtype=np.int64)
+            .astype(np.int32))
+        measure("probepal", probe_pallas, tbl, idx, lo_q)
+        del tbl
+
+    if "probe2g" in which:
+        lo_tab = jnp.asarray(
+            rng.integers(0, 100, size=(N_ROWS, 32), dtype=np.int64)
+            .astype(np.int32))
+        pay_tab = jnp.asarray(
+            rng.integers(0, 100, size=(N_ROWS, 8), dtype=np.int64)
+            .astype(np.int32))
+        measure("probe2g", functools.partial(probe_two_gather, WD),
+                lo_tab, pay_tab, idx, lo_q)
+
+    if "pallas" in which:
+        width = 128
+        tbl = jnp.asarray(
+            rng.integers(0, 100, size=(N_ROWS, width), dtype=np.int64)
+            .astype(np.int32))
+
+        def pallas_fn(c, table, idx):
+            rows = pallas_dma_gather(table, idx, width, N_IDX)
+            return c + rows[:, :4].sum(axis=(0, 1)).astype(jnp.float32)
+
+        measure("pallas", pallas_fn, tbl, idx)
+
+
+if __name__ == "__main__":
+    main()

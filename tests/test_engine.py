@@ -183,7 +183,8 @@ def test_probe_layout_parity(setup):
                dict(wide=True, wide_payload=True)):
         d = DeviceDB.from_db(db, **kw)
         out = _probe_batch_jit(d.bucket_pair, d.lo, d.payload, d.n,
-                               d.n_steps, o, l, d.lo_wide, d.payload_wide)
+                               d.n_steps, o, l, d.lo_wide, d.payload_wide,
+                               d.wide_w)
         outs.append([np.asarray(x) for x in out])
     assert outs[2][0].any()  # some hits exist
     for k in range(5):

@@ -62,3 +62,42 @@ def test_pallas_rejects_bad_batch():
         scan_score_pallas(z.astype(bool), z.astype(jnp.int32),
                           z.astype(jnp.int32), z.astype(jnp.float32),
                           interpret=True)
+
+
+def test_pallas_select_matches_xla_probe(monkeypatch):
+    """The Pallas payload-wide selection pass (CLOSE_KMERS_PALLAS_SELECT=1)
+    must reproduce probe_windows' XLA masked-sum selection exactly."""
+    from close_kmers_tpu.core import engine as E
+    from close_kmers_tpu.db.signature_db import SignatureDB
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    keys = np.unique(rng.integers(0, 20**8, size=n, dtype=np.int64))
+    db = SignatureDB(
+        keys,
+        rng.integers(0, 50, size=len(keys)).astype(np.int32),
+        rng.integers(-1, 8, size=len(keys)).astype(np.int32),
+        rng.integers(0, 300, size=len(keys)).astype(np.int32),
+        rng.uniform(0.1, 3.0, size=len(keys)).astype(np.float32),
+    )
+    ddb = E.DeviceDB.from_db(db, wide=True, wide_payload=True)
+    assert ddb.payload_wide is not None and ddb.wide_w > 0
+
+    B, L = 16, 64
+    offsets = rng.integers(0, 20, size=(B, L)).astype(np.uint8)
+    lengths = np.full(B, L, dtype=np.int32)
+    # plant some guaranteed hits: spell a DB kmer into each row
+    from close_kmers_tpu.ops.encoder import decode_kmer, seq_to_offsets
+    for b in range(B):
+        km = decode_kmer(int(keys[rng.integers(0, len(keys))]))
+        offsets[b, 4:12] = seq_to_offsets(km)
+    hi, lo, valid = E.encode_windows(jnp.asarray(offsets),
+                                     jnp.asarray(lengths))
+
+    monkeypatch.delenv("CLOSE_KMERS_PALLAS_SELECT", raising=False)
+    base = [np.asarray(x) for x in E.probe_windows(ddb, hi, lo, valid)]
+    assert base[0].any()
+    monkeypatch.setenv("CLOSE_KMERS_PALLAS_SELECT", "1")
+    palls = [np.asarray(x) for x in E.probe_windows(ddb, hi, lo, valid)]
+    for k, (a, b) in enumerate(zip(base, palls)):
+        assert np.array_equal(a, b), k
