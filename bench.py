@@ -27,7 +27,7 @@ PROT_LEN = int(os.environ.get("BENCH_PROT_LEN", 300))
 N_QUERY = int(os.environ.get("BENCH_N_QUERY", 32_768))
 BATCH = int(os.environ.get("BENCH_BATCH", 8192))
 N_CPU = int(os.environ.get("BENCH_N_CPU", 16384))      # baseline sample (large enough to exceed LLC)
-CALL_CAP = int(os.environ.get("BENCH_CALL_CAP", 2))    # calls/seq download cap
+CALL_CAP = float(os.environ.get("BENCH_CALL_CAP", 2))  # calls/seq download cap
 PASSES = int(os.environ.get("BENCH_PASSES", 3))        # best-of-N (the relay wire rate swings ~2x)
 N_FUNCS = 4096
 CACHE = os.environ.get(

@@ -551,7 +551,7 @@ class DeviceScorer:
 
     def score_batch_packed(self, offsets, lengths,
                            params: EngineParams | None = None,
-                           calls_per_seq_cap: int = 4,
+                           calls_per_seq_cap: float = 4,
                            packed_L: int = 0, pack_mode: int = 1):
         """Async-friendly variant: returns the device array (not yet
         transferred) so callers can pipeline dispatch and readback.
@@ -561,7 +561,8 @@ class DeviceScorer:
         (engine.pack_offsets_planar — the TPU-friendly unpack)."""
         params = params or EngineParams()
         d = self.ddb
-        cap = offsets.shape[0] * calls_per_seq_cap
+        # fractional caps allowed: the cap bounds TOTAL calls per batch
+        cap = int(offsets.shape[0] * calls_per_seq_cap)
         out, _ = _probe_score_jit(
             d.bucket_pair, d.lo, d.payload, d.n,
             d.n_steps, jnp.asarray(offsets), jnp.asarray(lengths),
