@@ -39,7 +39,7 @@ def discover_data_dir(data_dir: str) -> dict:
 
 
 def load_server_context(data_dir: str, args=None, batch_size: int = 2048,
-                        n_shards: int = 0):
+                        n_shards: int = 0, overrides: dict | None = None):
     from ..core.api import KmerEngine
     from ..db.signature_db import SignatureDB
     from ..db.family_db import FamilyReps
@@ -57,21 +57,36 @@ def load_server_context(data_dir: str, args=None, batch_size: int = 2048,
     engine = KmerEngine(db, mesh=mesh)
 
     found = discover_data_dir(data_dir)
+    if overrides:
+        found.update({k: v for k, v in overrides.items() if v})
     kmer_version = families_version = ""
-    if "kmer_version_file" in found:
+    if found.get("kmer_version"):          # explicit --kmer-version string
+        kmer_version = found["kmer_version"]
+    elif "kmer_version_file" in found:
         kmer_version = open(found["kmer_version_file"]).read().strip()
-    if "families_version_file" in found:
+    if found.get("families_version"):
+        families_version = found["families_version"]
+    elif "families_version_file" in found:
         families_version = open(found["families_version_file"]).read().strip()
 
     family_mode = "families_file" in found
     reps = None
     if args is not None:
-        if args.reps_file or args.reps_dir:
+        reps_file = getattr(args, "reps_file", None)
+        reps_dir = getattr(args, "reps_dir", None)
+        # --family-reps accepts a file OR a directory (kser.cc:258-277)
+        fr = getattr(args, "family_reps", None)
+        if fr:
+            if os.path.isdir(fr):
+                reps_dir = fr
+            else:
+                reps_file = fr
+        if reps_file or reps_dir:
             reps = FamilyReps()
-            if args.reps_file:
-                reps.load_reps_file(args.reps_file)
-            if args.reps_dir:
-                reps.load_reps_directory(args.reps_dir)
+            if reps_file:
+                reps.load_reps_file(reps_file)
+            if reps_dir:
+                reps.load_reps_directory(reps_dir)
 
     ctx = ServerContext(engine, family_mode=family_mode, family_reps=reps,
                         kmer_version=kmer_version,
@@ -90,8 +105,12 @@ def load_server_context(data_dir: str, args=None, batch_size: int = 2048,
             t0 = time.time()
             n = 0
             nr = found["nr_path"]
-            files = ([os.path.join(nr, f) for f in sorted(os.listdir(nr))]
-                     if os.path.isdir(nr) else [nr])
+            if isinstance(nr, list):       # --families-nr (multitoken)
+                files = nr
+            elif os.path.isdir(nr):
+                files = [os.path.join(nr, f) for f in sorted(os.listdir(nr))]
+            else:
+                files = [nr]
             adapter = _EngineNrAdapter(engine)
             for f in files:
                 n += root.load_nr(f, adapter)
@@ -125,12 +144,19 @@ class _EngineNrAdapter:
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="kser",
                                  description="TPU signature-kmer server")
-    ap.add_argument("port", type=int)
-    ap.add_argument("data_dir")
+    ap.add_argument("port", type=int, nargs="?", default=None)
+    ap.add_argument("data_dir", nargs="?", default=None)
+    ap.add_argument("-l", "--listen-port", type=int, default=None,
+                    help="alias for the port positional (kser.cc:61)")
+    ap.add_argument("-d", "--kmer-data-dir", default=None,
+                    help="alias for the data-dir positional (kser.cc:62)")
     ap.add_argument("--listen-port-file", default=None)
     ap.add_argument("--no-listen", action="store_true")
     ap.add_argument("--reps-file", default=None)
     ap.add_argument("--reps-dir", default=None)
+    ap.add_argument("--family-reps", default=None,
+                    help="family representative pegs, file or directory "
+                         "(kser.cc:258-277)")
     ap.add_argument("--batch-size", type=int, default=2048)
     ap.add_argument("--restore", default=None,
                     help="restore mapping state from a /checkpoint file")
@@ -141,17 +167,62 @@ def main(argv=None):
                          "(table axis of a 1 x N mesh)")
     ap.add_argument("--pid-file", default=None,
                     help="write the server pid to this file (kser.cc:215-245)")
-    ap.add_argument("--n-kmer-threads", type=int, default=1,
-                    help="accepted for reference CLI compat; batching "
-                         "replaces thread-level parallelism")
+    ap.add_argument("--daemonize", action="store_true",
+                    help="run the service in the background (kser.cc:215-245)")
+    # explicit overrides of the data-dir auto-discovery (kser.cc:52-75)
+    ap.add_argument("--families-file", default=None)
+    ap.add_argument("--families-genus-mapping", default=None)
+    ap.add_argument("--families-nr", nargs="+", default=None)
+    ap.add_argument("--families-version", default=None)
+    ap.add_argument("--kmer-version", default=None)
+    ap.add_argument("--kmer-family-distribution-file", default=None,
+                    help="write the kmer->family distribution after load "
+                         "(kser.cc:302-311)")
+    # accepted for reference CLI compat; no-ops in this architecture
+    # (batching replaces thread-level parallelism, arrays replace mmap)
+    for flag in ("--n-kmer-threads", "--n-load-threads",
+                 "--n-family-file-threads", "--n-inserter-threads"):
+        ap.add_argument(flag, type=int, default=1, help=argparse.SUPPRESS)
+    ap.add_argument("--reserve-mapping", type=int, default=0,
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--no-populate-mmap", action="store_true",
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--debug-http", action="store_true",
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--peg-kmer-data", default=None,
+                    help=argparse.SUPPRESS)  # vestigial in the reference too
     args = ap.parse_args(argv)
 
-    if args.pid_file:
+    port = args.port if args.port is not None else args.listen_port
+    data_dir = args.data_dir or args.kmer_data_dir
+    if port is None or data_dir is None:
+        ap.error("port and kmer data dir required "
+                 "(positionals or -l/-d flags)")
+
+    if args.daemonize:
+        child = os.fork()
+        if child:                  # parent records the child pid and exits
+            if args.pid_file:
+                with open(args.pid_file, "w") as f:
+                    f.write(f"{child}\n")
+            return 0
+        os.setsid()                # kser.cc:233 (fds stay attached, as there)
+    elif args.pid_file:
         with open(args.pid_file, "w") as f:
             f.write(f"{os.getpid()}\n")
-    ctx = load_server_context(args.data_dir, args, args.batch_size,
-                              args.shards)
+    overrides = dict(families_file=args.families_file,
+                     genus_map=args.families_genus_mapping,
+                     nr_path=args.families_nr,
+                     families_version=args.families_version,
+                     kmer_version=args.kmer_version)
+    ctx = load_server_context(data_dir, args, args.batch_size,
+                              args.shards, overrides=overrides)
     ctx.checkpoint_dir = args.checkpoint_dir
+    if args.kmer_family_distribution_file:
+        with open(args.kmer_family_distribution_file, "w") as f:
+            ctx.mapping("").write_kmer_distribution(f)
+        print(f"wrote kmer family distribution to "
+              f"{args.kmer_family_distribution_file}", file=sys.stderr)
     if args.restore:
         ctx.restore(args.restore)
         print(f"restored mapping state from {args.restore}", file=sys.stderr)
@@ -159,7 +230,7 @@ def main(argv=None):
         return 0
 
     from ..server.http import serve
-    asyncio.run(serve(ctx, port=args.port, port_file=args.listen_port_file))
+    asyncio.run(serve(ctx, port=port, port_file=args.listen_port_file))
     return 0
 
 

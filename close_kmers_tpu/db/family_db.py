@@ -199,6 +199,19 @@ class KmerFamilyMapping:
         lst = self._kmer_to_pegs.get(kmer)
         return lst if lst is not None else []
 
+    def write_kmer_distribution(self, os_) -> None:
+        """--kmer-family-distribution-file debug dump
+        (kmer.cc:526-545): ``kmer \\t code \\t n_families`` per kmer,
+        plus ``pgf plf function`` columns when exactly one family."""
+        from ..ops.encoder import decode_kmer
+
+        for code, fams in self._kmer_to_fams.items():
+            os_.write(f"{decode_kmer(code)}\t{code}\t{len(fams)}")
+            if len(fams) == 1:
+                fd = self.families[fams[0]]
+                os_.write(f"\t{fd.pgf}\t{fd.plf}\t{fd.function}")
+            os_.write("\n")
+
     def dump_sizes(self) -> str:
         """/dump_sizes debug endpoint content (kmer.cc:510-524 analog)."""
         lines = [

@@ -120,3 +120,68 @@ def test_build_db_recall_and_validation(built, tmp_path):
     # recall agrees with training annotation -> New/ file is empty
     assert (recall / "New" / "g0.fa").read_text() == ""
     assert "count=1 correct=1 incorrect=0 missing=0" in r.stdout.decode()
+
+
+def test_kser_reference_cli_compat(tmp_path):
+    """The reference's kser invocation style must work verbatim:
+    -l/-d flags, thread-count/reserve/no-populate no-op flags,
+    --family-reps on a file, and --kmer-family-distribution-file
+    (kser.cc:52-75, README:1)."""
+    golden = os.path.join(REPO, "tests", "golden", "data")
+    dist = tmp_path / "dist.tsv"
+    reps = tmp_path / "reps.tsv"
+    reps.write_text("h\n" + "\t".join(
+        ["g", "fig|562.1.peg.1", "PLF_562_00000001", "x", "c1", "100",
+         "200", "+", "5000", "z"]) + "\n")
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "close_kmers_tpu.cli.kser",
+         "--n-kmer-thread", "6", "--reserve-mapping", "1000000",
+         "--no-populate-mmap", "--no-listen",
+         "--family-reps", str(reps),
+         "--kmer-family-distribution-file", str(dist),
+         "-l", "0", "-d", golden],
+        capture_output=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr.decode()
+    lines = dist.read_text().splitlines()
+    assert lines, "distribution dump is empty"
+    cols = lines[0].split("\t")
+    assert len(cols) in (3, 6) and cols[2].isdigit()
+    # single-family kmers carry pgf/plf/function columns
+    assert any(len(l.split("\t")) == 6 for l in lines)
+
+
+def test_kser_daemonize(tmp_path):
+    """--daemonize forks; the parent exits immediately while the child
+    writes the pid/port files and serves (kser.cc:215-245)."""
+    import socket
+    import time as T
+
+    golden = os.path.join(REPO, "tests", "golden", "data")
+    pidf = tmp_path / "pid"
+    portf = tmp_path / "port"
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    # no capture: the daemon child inherits stdio, so captured pipes
+    # would never reach EOF (the reference leaves fds attached too)
+    r = subprocess.run(
+        [sys.executable, "-m", "close_kmers_tpu.cli.kser", "0", golden,
+         "--daemonize", "--pid-file", str(pidf),
+         "--listen-port-file", str(portf)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        env=env, timeout=300)
+    assert r.returncode == 0
+    assert pidf.exists(), "parent must write the child pid before exiting"
+    pid = int(pidf.read_text())
+    for _ in range(240):
+        if portf.exists() and portf.read_text().strip():
+            break
+        T.sleep(1)
+    port = int(portf.read_text())
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=30)
+        s.sendall(b"GET /version HTTP/1.1\n\n")
+        out = s.recv(65536)
+        assert b"200 OK" in out
+        s.close()
+    finally:
+        os.kill(pid, 15)
