@@ -21,19 +21,31 @@ def _read_list(path: str) -> list[str]:
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="build_signature_kmers")
-    ap.add_argument("kmer_data_dir", help="output data directory")
+    ap.add_argument("kmer_data_dir", nargs="?", default=None,
+                    help="output data directory")
+    ap.add_argument("--kmer-data-dir", dest="kmer_data_dir_flag",
+                    default=None,
+                    help="flag form of the output dir "
+                         "(build_signature_kmers.cc:1111)")
     ap.add_argument("--fasta", action="append", default=[],
                     help="annotated protein fasta file (repeatable)")
-    ap.add_argument("--fasta-dir", action="append", default=[],
+    ap.add_argument("-F", "--fasta-dir", action="append", default=[],
+                    nargs="+",
                     help="directory of annotated protein fastas")
     ap.add_argument("--fasta-keep-functions", action="append", default=[],
                     help="fasta whose functions are always kept")
+    ap.add_argument("-K", "--fasta-keep-functions-dir", action="append",
+                    default=[], nargs="+",
+                    help="directory of kept-function fastas")
     ap.add_argument("--function-defs", action="append", default=[],
                     help="id<TAB>function assignment file")
-    ap.add_argument("--good-functions", default=None,
-                    help="file of functions to always keep")
-    ap.add_argument("--good-roles", default=None,
-                    help="file of roles to always keep")
+    ap.add_argument("-D", "--definition-dir", action="append", default=[],
+                    nargs="+",
+                    help="directory of function definition files")
+    ap.add_argument("--good-functions", action="append", default=[],
+                    help="file of functions to always keep (repeatable)")
+    ap.add_argument("--good-roles", action="append", default=[],
+                    help="file of roles to always keep (repeatable)")
     ap.add_argument("--min-reps-required", type=int, default=5)
     ap.add_argument("--final-kmers", default=None,
                     help="extra path for the text kmer table")
@@ -45,19 +57,36 @@ def main(argv=None):
     ap.add_argument("--recall-max-gap", type=int, default=200)
     ap.add_argument("--validation-folder", default=None,
                     help="folder with anno/ + seq/ for validation mode")
+    ap.add_argument("--validation-verbose", action="store_true")
+    ap.add_argument("--n-threads", type=int, default=1,
+                    help="accepted for reference CLI compat; the batched "
+                         "engine replaces thread-level parallelism")
     args = ap.parse_args(argv)
+
+    out_dir = args.kmer_data_dir or args.kmer_data_dir_flag
+    if not out_dir:
+        ap.error("output data dir required (positional or --kmer-data-dir)")
 
     from ..db.builder import build_signature_kmers
 
-    fastas = list(args.fasta)
-    for d in args.fasta_dir:
-        fastas.extend(os.path.join(d, f) for f in sorted(os.listdir(d)))
+    def expand(dir_groups):
+        files = []
+        for group in dir_groups:
+            for d in (group if isinstance(group, list) else [group]):
+                files.extend(os.path.join(d, f)
+                             for f in sorted(os.listdir(d)))
+        return files
 
-    good_functions = _read_list(args.good_functions) if args.good_functions else []
-    good_roles = _read_list(args.good_roles) if args.good_roles else []
+    fastas = list(args.fasta) + expand(args.fasta_dir)
+    keeps = list(args.fasta_keep_functions) \
+        + expand(args.fasta_keep_functions_dir)
+    defs = list(args.function_defs) + expand(args.definition_dir)
+
+    good_functions = [g for p in args.good_functions for g in _read_list(p)]
+    good_roles = [g for p in args.good_roles for g in _read_list(p)]
 
     result = build_signature_kmers(
-        fastas, args.fasta_keep_functions, args.function_defs,
+        fastas, keeps, defs,
         args.min_reps_required, good_functions, good_roles)
     print(f"kept {len(result.fm.function_index)} functions", file=sys.stderr)
     print(f"Kept {len(result.kept_keys)} kmers", file=sys.stderr)
@@ -66,7 +95,7 @@ def main(argv=None):
     print("num_seqs_with_a_signature="
           f"{result.stats['num_seqs_with_a_signature']}", file=sys.stderr)
 
-    result.write_data_dir(args.kmer_data_dir, mem_map=args.mem_map)
+    result.write_data_dir(out_dir, mem_map=args.mem_map)
     if args.final_kmers:
         result.write_final_kmers(args.final_kmers)
 
@@ -79,7 +108,8 @@ def main(argv=None):
                        args.recall_min_hits, args.recall_max_gap)
         if args.validation_folder:
             run_validation(eng, args.validation_folder,
-                           args.recall_min_hits, args.recall_max_gap)
+                           args.recall_min_hits, args.recall_max_gap,
+                           verbose=args.validation_verbose)
     return 0
 
 

@@ -185,3 +185,31 @@ def test_kser_daemonize(tmp_path):
         s.close()
     finally:
         os.kill(pid, 15)
+
+
+def test_build_db_reference_style_dirs(tmp_path):
+    """The reference builder invocation style — -F <dir>, -D <dir>,
+    --kmer-data-dir flag, repeatable --good-functions, --n-threads —
+    must work (build_signature_kmers.cc:1105-1122)."""
+    rng = np.random.default_rng(9)
+    fdir = tmp_path / "fastas"
+    fdir.mkdir()
+    prot = "".join(rng.choice(list(E.PROT_ALPHA), size=60))
+    for g in range(5):
+        (fdir / f"g{g}.fa").write_text(f">fig|{g}.1.peg.1 Amidase\n{prot}\n")
+    ddir = tmp_path / "defs"
+    ddir.mkdir()
+    (ddir / "d.tsv").write_text("fig|0.1.peg.1\tAmidase\n")
+    gf = tmp_path / "good.txt"
+    gf.write_text("Amidase\n")
+    out = tmp_path / "data"
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "close_kmers_tpu.cli.build_db",
+         "-F", str(fdir), "-D", str(ddir),
+         "--good-functions", str(gf), "--n-threads", "4",
+         "--kmer-data-dir", str(out)],
+        capture_output=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr.decode()
+    assert (out / "function.index").exists()
+    assert (out / "final.kmers").exists()
