@@ -318,23 +318,55 @@ async def handle_add(ctx, req, body, writer, mapping):
 
 
 async def handle_matrix(ctx, req, body, writer, mapping):
-    """/matrix (matrix_request.cc): all-vs-all shared-kmer counts."""
+    """/matrix (matrix_request.cc): all-vs-all shared-kmer counts.
+
+    The per-hit peg expansion is vectorized: CSR lookup of every hit
+    kmer's peg list (one searchsorted + range flatten per protein)
+    instead of the reference's per-hit map walk (matrix_request.cc:
+    130-161).  Registration order is preserved — a protein's hits only
+    count pegs already registered — so the (later, earlier) pair
+    orientation matches the reference exactly."""
     params = req.engine_params()
     eng = ctx.engine
     matrix_proteins: dict[int, int] = {}
     distance: dict[tuple[int, int], int] = {}
+    member = np.zeros(0, dtype=bool)   # registered-eid mask (grown lazily)
 
     async for items in _fasta_batches(ctx, body):
         _results, h = await ctx.annotate(items, params)
+        keys, offs, vals = mapping.peg_csr()
+        # the mask must cover every interned peg id the CSR can emit
+        # plus the ids this batch will intern
+        need = len(mapping.peg_to_id) + len(items) + 1
+        if need > len(member):
+            grown = np.zeros(2 * need, dtype=bool)
+            grown[:len(member)] = member
+            member = grown
         for s, (sid, seq) in enumerate(items):
             eid = mapping.encode_peg(sid)
             matrix_proteins[eid] = len(seq)
+            member[eid] = True
             a, b = int(h["row_off"][s]), int(h["row_off"][s + 1])
-            for k in range(a, b):
-                for other in mapping.pegs_of_kmer(int(h["code"][k])):
-                    if other != eid and other in matrix_proteins:
-                        key = (eid, other)
-                        distance[key] = distance.get(key, 0) + 1
+            codes = h["code"][a:b]
+            if not (len(keys) and len(codes)):
+                continue
+            pos = np.searchsorted(keys, codes)
+            pos = np.minimum(pos, len(keys) - 1)
+            pos = pos[keys[pos] == codes]
+            st, en = offs[pos], offs[pos + 1]
+            cnts = en - st
+            tot = int(cnts.sum())
+            if not tot:
+                continue
+            # flatten the CSR ranges: indices st[i]..en[i] back to back
+            base = np.repeat(st - np.concatenate(
+                [[0], np.cumsum(cnts)[:-1]]), cnts)
+            flat = vals[base + np.arange(tot)]
+            sel = flat[(flat != eid) & member[flat]]
+            others, counts = np.unique(sel, return_counts=True)
+            for o, c in zip(others.tolist(), counts.tolist()):
+                key = (eid, int(o))
+                distance[key] = distance.get(key, 0) + int(c)
 
     out = [_status(req.http_version, 200, "OK"), "\n"]
     for (e1, e2) in sorted(distance):

@@ -307,3 +307,54 @@ def test_device_family_server_byte_identical(server, server_devfam):
     # the device scorer really was engaged for the root mapping
     root = ctx.mapping_map[""]
     assert getattr(root, "_device_scorer", (None, None))[1] is not None
+
+
+def test_matrix_differential_vs_naive(server, data_dir):
+    """Differential check of the vectorized /matrix accumulation against
+    a literal transcription of the reference's per-hit loop
+    (matrix_request.cc:130-161): register -> per hit -> per peg of the
+    kmer -> count when already registered."""
+    port, prots, fam_spec, funcs = server
+    d, _, _, _ = data_dir
+    rng = np.random.default_rng(77)
+    base = prots[fam_spec[0][0]]
+    # overlapping chimeras so many pairs share kmers, plus a stranger
+    seqs = {}
+    for i in range(6):
+        a, b = rng.integers(0, 100, size=2)
+        seqs[f"m{i}"] = base[:20 + a % 80] + base[b % 60:]
+    seqs["stranger"] = "".join(rng.choice(list(E.PROT_ALPHA), size=90))
+    body = "".join(f">{k}\n{v}\n" for k, v in seqs.items()).encode()
+    add = post(port, "/mapping/diff/add?silent=1", body)
+    assert "200 OK" in add
+    resp = post(port, "/mapping/diff/matrix", body)
+    got = {}
+    for line in resp.split("\n")[3:]:
+        if line.count("\t") == 3:
+            p1, p2, cnt, _s = line.split("\t")
+            got[(p1, p2)] = int(cnt)
+
+    # naive replication: same engine, same add semantics
+    from close_kmers_tpu.cli.kser import load_server_context
+    ctx2 = load_server_context(str(d), batch_size=64)
+    eng = ctx2.engine
+    mapping = ctx2.mapping("diff2")
+    items = list(seqs.items())
+    _res, h = eng.annotate_with_hits(items, want_hits=True)
+    for s, (sid, _seq) in enumerate(items):
+        pid = mapping.encode_peg(sid)
+        a, b = int(h["row_off"][s]), int(h["row_off"][s + 1])
+        for k in range(a, b):
+            mapping.add_peg_mapping(pid, int(h["code"][k]))
+    want = {}
+    registered = {}
+    for s, (sid, seq) in enumerate(items):
+        eid = mapping.encode_peg(sid)
+        registered[eid] = len(seq)
+        a, b = int(h["row_off"][s]), int(h["row_off"][s + 1])
+        for k in range(a, b):
+            for other in mapping.pegs_of_kmer(int(h["code"][k])):
+                if other != eid and other in registered:
+                    key = (sid, mapping.decode_peg(other))
+                    want[key] = want.get(key, 0) + 1
+    assert got == want and len(got) > 3
