@@ -82,7 +82,8 @@ def annotate_dna_batch(engine, items, params: EngineParams | None = None,
     return results
 
 
-def probe_long_sequence(engine, seq: str, tile: int = 8192):
+def probe_long_sequence(engine, seq: str, tile: int = 8192,
+                        want_code: bool = True):
     """Tile a long protein sequence into overlapping [tile] chunks (halo
     K-1) and probe them as a batch; returns the merged position-ordered
     hit arrays, identical to an untiled probe.
@@ -90,6 +91,8 @@ def probe_long_sequence(engine, seq: str, tile: int = 8192):
     Tile t covers absolute window positions [t*step, t*step+step) where
     step = tile - (K-1); the engine's scan-bound exclusion (p < len-K) is
     preserved globally by clipping to the true sequence length.
+    ``want_code=False`` skips the kmer-code download (genome workloads
+    are download-bound; scoring needs no codes).
     """
     pI = seq_to_offsets(seq)
     n = len(pI)
@@ -98,7 +101,8 @@ def probe_long_sequence(engine, seq: str, tile: int = 8192):
     # local positions [0, tile-K); the next tile starts there.
     step = tile - K
     if n <= tile:
-        h = engine.fa.probe_compact(*engine.fa.pad_batch([seq]))
+        h = engine.fa.probe_compact(*engine.fa.pad_batch([seq]),
+                                    want_code=want_code)
         return {k: (v if k == "row_off" else v) for k, v in h.items()}
 
     starts = list(range(0, n, step))
@@ -113,7 +117,7 @@ def probe_long_sequence(engine, seq: str, tile: int = 8192):
     # every interior window probed exactly once, tile i contributes
     # positions [0, step) locally; the last tile contributes up to its
     # own scan bound.
-    h = engine.fa.probe_compact(rows, lens)
+    h = engine.fa.probe_compact(rows, lens, want_code=want_code)
     pos = h["pos"]
     row = np.repeat(np.arange(len(starts)), np.diff(h["row_off"]))
     abs_pos = pos.astype(np.int64) + np.asarray(starts, dtype=np.int64)[row]
@@ -126,8 +130,9 @@ def probe_long_sequence(engine, seq: str, tile: int = 8192):
         return a[keep][order]
 
     out = dict(pos=sel(abs_pos).astype(np.int32), fi=sel(h["fi"]),
-               oi=sel(h["oi"]), avg_off=sel(h["avg_off"]), wt=sel(h["wt"]),
-               code=sel(h["code"]))
+               oi=sel(h["oi"]), avg_off=sel(h["avg_off"]), wt=sel(h["wt"]))
+    if want_code:
+        out["code"] = sel(h["code"])
     out["row_off"] = np.array([0, len(out["pos"])], dtype=np.int64)
     return out
 
@@ -140,7 +145,7 @@ def annotate_long_sequence(engine, seq_id: str, seq: str,
     from ..native import api as native
 
     params = params or EngineParams()
-    h = probe_long_sequence(engine, seq, tile)
+    h = probe_long_sequence(engine, seq, tile, want_code=False)
     n_calls, cs, ce, cc, cf, cw, votes = native.score_batch(
         h["pos"], h["fi"], h["oi"], h["avg_off"], h["wt"], h["row_off"],
         params, max_calls_per_seq=65536, want_votes=want_otu)

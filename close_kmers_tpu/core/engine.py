@@ -518,42 +518,47 @@ class FastAnnotator:
         return offsets, lengths
 
     def probe_compact(self, offsets: np.ndarray, lengths: np.ndarray,
-                      hits_per_seq_cap: int = 64):
+                      hits_per_seq_cap: int = 64, want_code: bool = True):
         """Device probe + on-device hit compaction.  Returns a dict of
         concatenated per-sequence hit arrays (pos, fi, oi, avg_off, wt,
         code) plus row_off delimiters.  Downloads only the packed hits
         (cap overflow retries with 4x the cap, rounded to a power of two
-        to bound recompiles)."""
+        to bound recompiles).  ``want_code=False`` drops the hi/lo code
+        planes from the download (29% fewer bytes — the dominant cost of
+        hit-heavy genome workloads through a slow host link) and omits
+        the "code" key."""
         d = self.ddb
         B = offsets.shape[0]
         W = offsets.shape[1] - K
+        n_planes = 7 if want_code else 5
         max_cap = B * W
         cap = min(max_cap, 1 << (B * hits_per_seq_cap - 1).bit_length())
         while True:
             out = np.asarray(_probe_compact_jit(
                 d.bucket_pair, d.lo, d.payload, d.n, d.n_steps,
                 jnp.asarray(offsets), jnp.asarray(lengths), cap, d.lo_wide,
-                d.payload_wide, d.wide_w))
+                d.payload_wide, d.wide_w, want_code))
             n_hits = out[:B]
             total = int(n_hits.sum())
             if total <= cap or cap >= max_cap:
                 break
             cap = min(max_cap, 1 << (total * 4 - 1).bit_length())
-        pack = out[B:].reshape(7, cap)
+        pack = out[B:].reshape(n_planes, cap)
         row_off = np.zeros(B + 1, dtype=np.int64)
         np.cumsum(n_hits, out=row_off[1:])
         t = slice(0, total)
-        code = (pack[5, t].astype(np.int64) * LO_CARD
-                + pack[6, t].astype(np.int64))
-        return dict(
+        h = dict(
             pos=pack[0, t],
             fi=pack[1, t],
             oi=pack[2, t],
             avg_off=pack[3, t],
             wt=pack[4, t].copy().view(np.float32),
-            code=code,
             row_off=row_off,
         )
+        if want_code:
+            h["code"] = (pack[5, t].astype(np.int64) * LO_CARD
+                         + pack[6, t].astype(np.int64))
+        return h
 
     def annotate(self, seqs: list[str], params: EngineParams | None = None,
                  max_calls_per_seq: int = 512, want_votes: bool = False):
@@ -612,10 +617,11 @@ def finish_best_call(n_funcs: int, fi3, cnt3, wt3, function_of) -> O.BestCall:
     return result
 
 
-@functools.partial(jax.jit, static_argnames=("hit_cap", "wide_w"))
+@functools.partial(jax.jit,
+                   static_argnames=("hit_cap", "wide_w", "want_code"))
 def _probe_compact_jit(bucket_pair, lo_arr, payload, n, n_steps,
                        offsets, lengths, hit_cap, lo_wide=None,
-                       payload_wide=None, wide_w=0):
+                       payload_wide=None, wide_w=0, want_code=True):
     """Fused probe + on-device hit compaction: hits left-pack into a
     [7, hit_cap] buffer (pos, fi, oi, avg_off, wt-bits, hi, lo) in
     row-major (= per-sequence, position-ordered) order, prefixed by the
@@ -632,16 +638,16 @@ def _probe_compact_jit(bucket_pair, lo_arr, payload, n, n_steps,
     flat = found.reshape(-1)
     order = jnp.argsort(~flat, stable=True)[:hit_cap]
     pos = (order % W).astype(jnp.int32)
-    pack = jnp.stack([
+    planes = [
         pos,
         fi.reshape(-1)[order],
         oi.reshape(-1)[order],
         avg_off.reshape(-1)[order],
         jax.lax.bitcast_convert_type(wt.reshape(-1)[order], jnp.int32),
-        hi.reshape(-1)[order],
-        lo.reshape(-1)[order],
-    ])
-    return jnp.concatenate([n_hits, pack.reshape(-1)])
+    ]
+    if want_code:
+        planes += [hi.reshape(-1)[order], lo.reshape(-1)[order]]
+    return jnp.concatenate([n_hits, jnp.stack(planes).reshape(-1)])
 
 
 def replay_hits(hits, params: EngineParams, calls, otu) -> None:
