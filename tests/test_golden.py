@@ -55,6 +55,35 @@ def http(port, req: bytes) -> bytes:
     return out
 
 
+def play(port, reqs) -> bytes:
+    """Run a conversation: one request or a list run back to back on
+    fresh connections; the snapshot is the concatenated responses."""
+    if isinstance(reqs, (bytes, bytearray)):
+        reqs = [reqs]
+    return b"".join(http(port, r) for r in reqs)
+
+
+def _post(path: bytes, body: bytes) -> bytes:
+    return (b"POST " + path + b" HTTP/1.1\nContent-length: %d\n\n"
+            % len(body) + body)
+
+
+def _matrix_body(body: bytes) -> bytes:
+    """Deterministic chimera set from the golden queries: A=q1,
+    B=q1[:60]+q2[60:], C=q2 — overlapping pairs share kmer runs."""
+    import re
+    seqs = dict(re.findall(rb">(\S+)[^\n]*\n([A-Z\n]+)", body))
+    s1 = seqs[b"q1"].replace(b"\n", b"")
+    s2 = seqs[b"q2"].replace(b"\n", b"")
+    return (b">A\n" + s1 + b"\n>B\n" + s1[:60] + s2[60:] + b"\n>C\n"
+            + s2 + b"\n")
+
+
+def _reads(name: str) -> bytes:
+    with open(os.path.join(GOLDEN, name), "rb") as f:
+        return f.read()
+
+
 CONVS = {
     "version": lambda body: b"GET /version HTTP/1.1\n\n",
     "query": lambda body:
@@ -70,6 +99,14 @@ CONVS = {
     "lookup_best": lambda body:
         b"POST /lookup?find_best_match=1&target_genus=Escherichia "
         b"HTTP/1.1\nContent-length: %d\n\n" % len(body) + body,
+    # stateful conversations run in isolated /mapping/<key>/ universes
+    "wadd": lambda body: _post(b"/mapping/gold_add/add", body),
+    "xmatrix": lambda body: [
+        _post(b"/mapping/gold_m/add?silent=1", _matrix_body(body)),
+        _post(b"/mapping/gold_m/matrix", _matrix_body(body)),
+    ],
+    "yfq": lambda body: _post(b"/fq_lookup", _reads("reads.fq")),
+    "zfq_gz": lambda body: _post(b"/fq_lookup", _reads("reads.fq.gz")),
 }
 
 
@@ -78,5 +115,5 @@ def test_golden_conversation(golden_server, name):
     with open(os.path.join(GOLDEN, "queries.fa"), "rb") as f:
         body = f.read()
     want = open(os.path.join(GOLDEN, f"{name}.resp"), "rb").read()
-    got = http(golden_server, CONVS[name](body))
+    got = play(golden_server, CONVS[name](body))
     assert got == want, f"golden mismatch for {name}"

@@ -7,7 +7,7 @@ import threading
 
 import pytest
 
-from test_golden import CONVS, GOLDEN, http
+from test_golden import CONVS, GOLDEN, play
 
 
 @pytest.fixture(scope="module")
@@ -43,5 +43,5 @@ def test_sharded_golden_conversation(sharded_server, name):
     with open(os.path.join(GOLDEN, "queries.fa"), "rb") as f:
         body = f.read()
     want = open(os.path.join(GOLDEN, f"{name}.resp"), "rb").read()
-    got = http(sharded_server, CONVS[name](body))
+    got = play(sharded_server, CONVS[name](body))
     assert got == want, f"sharded golden mismatch for {name}"
