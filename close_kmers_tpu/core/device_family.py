@@ -153,9 +153,10 @@ def rollup_from_fams(fams, cap_seq: int):
 @functools.partial(jax.jit, static_argnames=("cap_seq", "wide_w"))
 def _family_rollup_jit(bucket_pair, lo_arr, payload,
                        n, n_steps, fam_tab, offsets, lengths, cap_seq,
-                       lo_wide=None, payload_wide=None, wide_w=0):
+                       lo_wide=None, payload_wide=None, wide_w=0,
+                       sub_header=None, sub_blocks=None):
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
-                   payload_wide, wide_w)
+                   payload_wide, wide_w, sub_header, sub_blocks)
     hi, lo, valid = encode_windows(offsets, lengths)
     found, _fi, _oi, _av, _wt, idx = probe_windows(ddb, hi, lo, valid)
     fams = fam_tab[idx]                      # [B, W, D]
@@ -177,7 +178,8 @@ def _family_rollup_jit(bucket_pair, lo_arr, payload,
 def _score_family_jit(bucket_pair, lo_arr, payload, n, n_steps, fam_tab,
                       offsets, lengths, min_hits, min_weighted_hits,
                       max_gap, order_constraint, call_cap, cap_seq,
-                      lo_wide=None, payload_wide=None, wide_w=0):
+                      lo_wide=None, payload_wide=None, wide_w=0,
+                      sub_header=None, sub_blocks=None):
     """The family-serving program: ONE probe feeding both the scoring
     scan (packed CALL buffer, same layout as device_score._probe_score_jit)
     and the family rollup (packed rows).  /lookup?find_best_match=1 needs
@@ -185,7 +187,7 @@ def _score_family_jit(bucket_pair, lo_arr, payload, n, n_steps, fam_tab,
     from .device_score import _scan_score
 
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
-                   payload_wide, wide_w)
+                   payload_wide, wide_w, sub_header, sub_blocks)
     hi, lo, valid = encode_windows(offsets, lengths)
     found, p_fi, _oi, p_av, p_wt, idx = probe_windows(ddb, hi, lo, valid)
 
@@ -243,7 +245,8 @@ class DeviceFamilyScorer:
             d.bucket_pair, d.lo, d.payload, d.n,
             d.n_steps, self.fdb.fam,
             jnp.asarray(offsets), jnp.asarray(lengths), fams_per_seq_cap,
-            d.lo_wide, d.payload_wide, d.wide_w)
+            d.lo_wide, d.payload_wide, d.wide_w, d.sub_header,
+            d.sub_blocks)
         return out, fams_per_seq_cap
 
     @staticmethod
@@ -295,7 +298,8 @@ class DeviceFamilyScorer:
             jnp.asarray(offsets), jnp.asarray(lengths),
             params.min_hits, params.min_weighted_hits, params.max_gap,
             params.order_constraint, call_cap, fams_per_seq_cap,
-            d.lo_wide, d.payload_wide, d.wide_w)
+            d.lo_wide, d.payload_wide, d.wide_w, d.sub_header,
+            d.sub_blocks)
         return calls_out, call_cap, rows, fams_per_seq_cap
 
     def _rollup(self, offsets: np.ndarray, lengths: np.ndarray,

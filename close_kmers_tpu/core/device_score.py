@@ -366,12 +366,13 @@ def _best_call_device(emit, c_cnt, c_fi, c_wt):
 def _probe_best_jit(bucket_pair, lo_arr, payload,
                     n, n_steps, offsets, lengths,
                     min_hits, min_weighted_hits, max_gap, order_constraint,
-                    lo_wide=None, payload_wide=None, wide_w=0):
+                    lo_wide=None, payload_wide=None, wide_w=0,
+                    sub_header=None, sub_blocks=None):
     """Fused probe + scan scoring + device find_best_call reductions.
     Output: one packed int32 buffer [B, 9] (wt fields bitcast; col 8 =
     overflow flag -> row needs the host fallback path)."""
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
-                   payload_wide, wide_w)
+                   payload_wide, wide_w, sub_header, sub_blocks)
     hi, lo, valid = encode_windows(offsets, lengths)
     found, p_fi, p_oi, p_av, p_wt, _ = probe_windows(ddb, hi, lo, valid)
     emit, (c_start, c_end, c_cnt, c_fi, c_wt) = _scan_score(
@@ -395,9 +396,10 @@ def _probe_score_jit(bucket_pair, lo_arr, payload,
                      n, n_steps, offsets, lengths,
                      min_hits, min_weighted_hits, max_gap, order_constraint,
                      call_cap, use_pallas=False, L=0, lo_wide=None,
-                     pack_mode=1, payload_wide=None, wide_w=0):
+                     pack_mode=1, payload_wide=None, wide_w=0,
+                     sub_header=None, sub_blocks=None):
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
-                   payload_wide, wide_w)
+                   payload_wide, wide_w, sub_header, sub_blocks)
     if L:  # offsets arrive 5-bit packed; L = unpacked padded width
         if pack_mode == 2:   # planar i32 words (engine.pack_offsets_planar)
             from .engine import unpack_offsets_planar
@@ -471,7 +473,7 @@ class DeviceScorer:
             d.n_steps, jnp.asarray(offsets), jnp.asarray(lengths),
             params.min_hits, params.min_weighted_hits, params.max_gap,
             params.order_constraint, cap, self.use_pallas, 0, d.lo_wide,
-            1, d.payload_wide, d.wide_w)
+            1, d.payload_wide, d.wide_w, d.sub_header, d.sub_blocks)
         out = np.asarray(out)
         n_calls = out[:B]
         pack = out[B:].reshape(5, cap)
@@ -526,7 +528,8 @@ class DeviceScorer:
             d.bucket_pair, d.lo, d.payload, d.n,
             d.n_steps, jnp.asarray(offsets), jnp.asarray(lengths),
             params.min_hits, params.min_weighted_hits, params.max_gap,
-            params.order_constraint, d.lo_wide, d.payload_wide, d.wide_w)
+            params.order_constraint, d.lo_wide, d.payload_wide, d.wide_w,
+            d.sub_header, d.sub_blocks)
 
     @staticmethod
     def finish_best_batch(out_np: np.ndarray, function_of):
@@ -568,5 +571,6 @@ class DeviceScorer:
             d.n_steps, jnp.asarray(offsets), jnp.asarray(lengths),
             params.min_hits, params.min_weighted_hits, params.max_gap,
             params.order_constraint, cap, self.use_pallas, packed_L,
-            d.lo_wide, pack_mode, d.payload_wide, d.wide_w)
+            d.lo_wide, pack_mode, d.payload_wide, d.wide_w,
+            d.sub_header, d.sub_blocks)
         return out, cap

@@ -90,14 +90,28 @@ class DeviceDB:
     # no longer derivable from the row shape; 0 means "unpadded, derive
     # from shape" (the sharded path's layout).
     wide_w: int = 0
+    # Optional deep-bucket layout (PATRIC-density DBs, avg bucket >>
+    # WIDE_BUCKET_MAX, where wide rows would be KB-scale and the binary
+    # search needs ~10 dependent gathers): each bucket splits into
+    # SUB=16 sub-buckets by the lo code's top bits; sub_header[h] holds
+    # the 16 block-row ids and sub_blocks[b] a payload-wide-format row
+    # [global_start, lo plane, fi, oi, avg_off, wt-bits] padded to the
+    # max sub-bucket depth.  Probe = header gather + in-register one-hot
+    # select + block gather — 2 gather ops regardless of bucket depth.
+    sub_header: jax.Array | None = None   # i32[HI_CARD, SUB]
+    sub_blocks: jax.Array | None = None   # i32[n_nonempty+1, 1+5*max_sub]
 
     WIDE_BUCKET_MAX = 32  # memory/time tradeoff bound (HI_CARD*W*4 bytes)
     WIDE_PAYLOAD_MAX_BYTES = 2 << 30
+    SUB = 16              # sub-buckets per bucket (power of two)
+    SUB_BUCKET_MAX = 256  # max entries per sub-bucket (block row width)
+    SUB_MAX_BYTES = 4 << 30
 
     @classmethod
     def from_db(cls, db: SignatureDB, device=None,
                 wide: bool | None = None,
-                wide_payload: bool | None = None) -> "DeviceDB":
+                wide_payload: bool | None = None,
+                sub: bool | None = None) -> "DeviceDB":
         put = functools.partial(jax.device_put, device=device)
         n_steps = max(1, math.ceil(math.log2(db.max_bucket + 1))) if len(db) else 1
         n = len(db)
@@ -144,6 +158,37 @@ class DeviceDB:
                 m = counts > j
                 lw[m, 1 + j] = db.lo[starts[m] + j]
             lo_wide = put(jnp.asarray(lw))
+
+        sub_header = sub_blocks = None
+        if sub is None:
+            sub = not wide and n > 0
+        if sub and not wide and n:
+            from ..params import LO_CARD
+            shift = (LO_CARD - 1).bit_length() - (cls.SUB.bit_length() - 1)
+            skey = db.hi.astype(np.int64) * cls.SUB + (db.lo >> shift)
+            ukeys, ustart, ucnt = np.unique(
+                skey, return_index=True, return_counts=True)
+            max_sub = int(ucnt.max())
+            nb = len(ukeys)
+            if (max_sub <= cls.SUB_BUCKET_MAX
+                    and (nb + 1) * (1 + 5 * max_sub) * 4 <= cls.SUB_MAX_BYTES):
+                row_w = 1 + 5 * max_sub
+                blocks = np.zeros((nb + 1, row_w), dtype=np.int32)
+                blocks[:, 1:1 + max_sub] = 2 ** 30  # lo sentinel
+                blocks[:nb, 0] = ustart
+                blocks[nb, 0] = n                   # miss row -> idx = n
+                planes = (db.lo, db.fi, db.oi, db.avg_off,
+                          db.wt.view(np.int32))
+                for j in range(max_sub):
+                    m = ucnt > j
+                    rows = ustart[m] + j
+                    for p, plane in enumerate(planes):
+                        blocks[:nb][m, 1 + p * max_sub + j] = plane[rows]
+                header = np.full((H, cls.SUB), nb, dtype=np.int32)
+                header[ukeys // cls.SUB, ukeys % cls.SUB] = \
+                    np.arange(nb, dtype=np.int32)
+                sub_header = put(jnp.asarray(header))
+                sub_blocks = put(jnp.asarray(blocks))
         return cls(
             bucket_pair=put(jnp.asarray(pair)),
             lo=put(jnp.asarray(lo)),
@@ -153,6 +198,8 @@ class DeviceDB:
             lo_wide=lo_wide,
             payload_wide=payload_wide,
             wide_w=wide_w,
+            sub_header=sub_header,
+            sub_blocks=sub_blocks,
         )
 
 
@@ -316,6 +363,44 @@ def _pallas_select_mode() -> str | None:
     return "interpret" if jax.default_backend() == "cpu" else "compiled"
 
 
+def _select_payload_row(row, lof, Wd):
+    """Match + payload selection over gathered payload-wide-format rows
+    [N, 1 + 5*Wd (+pad)]: row = [start, lo plane, fi, oi, avg_off,
+    wt-bits planes].  Keys are unique, so at most one lane matches and
+    masked sums reproduce the matched values.  Returns flat
+    (found, fi, oi, avg_off, wt-bits, idx=start+pos)."""
+    mode = _pallas_select_mode()
+    if mode is not None:
+        from ..ops.pallas_select import select_wide_rows
+        sel = select_wide_rows(row, lof, Wd,
+                               interpret=(mode == "interpret"))
+        return (sel[:, 0] > 0, sel[:, 1], sel[:, 2], sel[:, 3],
+                sel[:, 4], sel[:, 5])
+    left = row[:, 0]
+    match = row[:, 1:1 + Wd] == lof[:, None]
+    foundf = match.any(axis=-1)
+    m = match.astype(jnp.int32)
+
+    def pick(p):
+        return (row[:, 1 + p * Wd:1 + (p + 1) * Wd] * m).sum(axis=-1)
+
+    pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
+    return (foundf, pick(1), pick(2), pick(3), pick(4), left + pos)
+
+
+def _finish_select(sel, sh, valid, n):
+    """Reshape flat selection results to ``sh`` and apply miss masking
+    (fi/oi -> -1, idx -> n)."""
+    foundf, fif, oif, avf, wtbits, idxf = sel
+    found = valid & foundf.reshape(sh)
+    fi = jnp.where(found, fif.reshape(sh), -1)
+    oi = jnp.where(found, oif.reshape(sh), -1)
+    avg_off = avf.reshape(sh)
+    wt = jax.lax.bitcast_convert_type(wtbits.reshape(sh), jnp.float32)
+    idx = jnp.where(found, idxf.reshape(sh), n)
+    return (found, fi, oi, avg_off, wt, idx)
+
+
 def probe_windows(ddb: DeviceDB, hi, lo, valid):
     """Batched two-level probe.  Returns (found, fi, oi, avg_off, wt,
     idx), all shaped like ``hi`` (idx = matched DB row, ddb.n if none).
@@ -340,34 +425,27 @@ def probe_windows(ddb: DeviceDB, hi, lo, valid):
         lof = lo_c.reshape(-1)
         row = ddb.payload_wide[hif]            # [N, 1 + 5W (+ pad)]
         Wd = ddb.wide_w or (row.shape[-1] - 1) // 5
-        mode = _pallas_select_mode()
-        if mode is not None:
-            from ..ops.pallas_select import select_wide_rows
-            sel = select_wide_rows(row, lof, Wd,
-                                   interpret=(mode == "interpret"))
-            foundf = sel[:, 0] > 0
-            fif, oif = sel[:, 1], sel[:, 2]
-            avf, wtbits = sel[:, 3], sel[:, 4]
-            idxf = sel[:, 5]
-        else:
-            left = row[:, 0]
-            match = row[:, 1:1 + Wd] == lof[:, None]
-            foundf = match.any(axis=-1)
-            m = match.astype(jnp.int32)
+        sel = _select_payload_row(row, lof, Wd)
+        return _finish_select(sel, sh, valid, ddb.n)
 
-            def pick(p):
-                return (row[:, 1 + p * Wd:1 + (p + 1) * Wd] * m).sum(axis=-1)
-
-            fif, oif, avf, wtbits = pick(1), pick(2), pick(3), pick(4)
-            pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
-            idxf = left + pos
-        found = valid & foundf.reshape(sh)
-        fi = jnp.where(found, fif.reshape(sh), -1)
-        oi = jnp.where(found, oif.reshape(sh), -1)
-        avg_off = avf.reshape(sh)
-        wt = jax.lax.bitcast_convert_type(wtbits.reshape(sh), jnp.float32)
-        idx = jnp.where(found, idxf.reshape(sh), ddb.n)
-        return (found, fi, oi, avg_off, wt, idx)
+    if ddb.sub_blocks is not None:
+        # Deep-bucket 2-gather probe: header row -> in-register one-hot
+        # pick of the sub-bucket's block id -> payload-wide-format block.
+        from ..params import LO_CARD
+        sh = hi_c.shape
+        hif = hi_c.reshape(-1)
+        lof = lo_c.reshape(-1)
+        SUB = ddb.sub_header.shape[1]
+        shift = (LO_CARD - 1).bit_length() - (SUB.bit_length() - 1)
+        subix = jnp.clip(lof, 0, LO_CARD - 1) >> shift
+        hrow = ddb.sub_header[hif]                    # [N, SUB]
+        onehot = (subix[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, SUB), 1)).astype(jnp.int32)
+        bid = (hrow * onehot).sum(axis=-1)
+        row = ddb.sub_blocks[bid]                     # [N, 1 + 5*max_sub]
+        Wd = (row.shape[-1] - 1) // 5
+        sel = _select_payload_row(row, lof, Wd)
+        return _finish_select(sel, sh, valid, ddb.n)
 
     if ddb.lo_wide is not None:
         # Wide-bucket compare: one row gather holds the bucket start and
@@ -411,9 +489,9 @@ def probe_windows(ddb: DeviceDB, hi, lo, valid):
 @functools.partial(jax.jit, static_argnames=("wide_w",))
 def _probe_batch_jit(bucket_pair, lo_arr, payload, n, n_steps,
                      offsets, lengths, lo_wide=None, payload_wide=None,
-                     wide_w=0):
+                     wide_w=0, sub_header=None, sub_blocks=None):
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
-                   payload_wide, wide_w)
+                   payload_wide, wide_w, sub_header, sub_blocks)
     hi, lo, valid = encode_windows(offsets, lengths)
     return probe_windows(ddb, hi, lo, valid)[:5]
 
@@ -439,7 +517,8 @@ class TpuEngine:
         d = self.ddb
         out = _probe_batch_jit(d.bucket_pair, d.lo, d.payload, d.n, d.n_steps,
                                jnp.asarray(offsets), jnp.asarray(lengths),
-                               d.lo_wide, d.payload_wide, d.wide_w)
+                               d.lo_wide, d.payload_wide, d.wide_w,
+                               d.sub_header, d.sub_blocks)
         return tuple(np.asarray(x) for x in out)
 
     def hits_of_batch(self, seqs: list[str], pad_to: int | None = None):
@@ -537,7 +616,8 @@ class FastAnnotator:
             out = np.asarray(_probe_compact_jit(
                 d.bucket_pair, d.lo, d.payload, d.n, d.n_steps,
                 jnp.asarray(offsets), jnp.asarray(lengths), cap, d.lo_wide,
-                d.payload_wide, d.wide_w, want_code))
+                d.payload_wide, d.wide_w, want_code, d.sub_header,
+                d.sub_blocks))
             n_hits = out[:B]
             total = int(n_hits.sum())
             if total <= cap or cap >= max_cap:
@@ -621,7 +701,8 @@ def finish_best_call(n_funcs: int, fi3, cnt3, wt3, function_of) -> O.BestCall:
                    static_argnames=("hit_cap", "wide_w", "want_code"))
 def _probe_compact_jit(bucket_pair, lo_arr, payload, n, n_steps,
                        offsets, lengths, hit_cap, lo_wide=None,
-                       payload_wide=None, wide_w=0, want_code=True):
+                       payload_wide=None, wide_w=0, want_code=True,
+                       sub_header=None, sub_blocks=None):
     """Fused probe + on-device hit compaction: hits left-pack into a
     [7, hit_cap] buffer (pos, fi, oi, avg_off, wt-bits, hi, lo) in
     row-major (= per-sequence, position-ordered) order, prefixed by the
@@ -630,7 +711,7 @@ def _probe_compact_jit(bucket_pair, lo_arr, payload, n, n_steps,
     the compact CALL download (through a slow host link the raw grids
     dominate end-to-end time; see PERF.md)."""
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
-                   payload_wide, wide_w)
+                   payload_wide, wide_w, sub_header, sub_blocks)
     hi, lo, valid = encode_windows(offsets, lengths)
     found, fi, oi, avg_off, wt, _ = probe_windows(ddb, hi, lo, valid)
     B, W = found.shape

@@ -74,12 +74,12 @@ WIDE_W = 0  # set in main() from the DeviceDB (static: used for slicing)
 
 def _ddb_args(ddb):
     return (ddb.bucket_pair, ddb.lo, ddb.payload, ddb.lo_wide,
-            ddb.payload_wide)
+            ddb.payload_wide, ddb.sub_header, ddb.sub_blocks)
 
 
 def _probe(ddb_arrs, n, n_steps, off, ln):
-    bp, lo_a, pay, lw, pw = ddb_arrs
-    ddb = DeviceDB(bp, lo_a, pay, n_steps, n, lw, pw, WIDE_W)
+    bp, lo_a, pay, lw, pw, sh, sb = ddb_arrs
+    ddb = DeviceDB(bp, lo_a, pay, n_steps, n, lw, pw, WIDE_W, sh, sb)
     hi, lo, valid = encode_windows(off, ln)
     return probe_windows(ddb, hi, lo, valid)
 
@@ -168,9 +168,11 @@ def main():
         mapping._fam_csr = (db.keys, offs2, vals.astype(np.int32))
         fdb = DeviceFamilyDB.from_mapping(db, mapping)
 
-        def stage_family(c, fam_tab, bp, lo_a, pay, lw, pw, off, ln):
+        def stage_family(c, fam_tab, bp, lo_a, pay, lw, pw, sh, sb,
+                         off, ln):
             out = _family_rollup_jit(bp, lo_a, pay, len(db), ddb.n_steps,
-                                     fam_tab, off, ln, 8, lw, pw, WIDE_W)
+                                     fam_tab, off, ln, 8, lw, pw, WIDE_W,
+                                     sh, sb)
             return c + out[:B].sum().astype(jnp.float32)
 
         stages["family"] = stage_family

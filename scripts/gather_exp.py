@@ -244,6 +244,52 @@ def main():
         measure("probepal", probe_pallas, tbl, idx, lo_q)
         del tbl
 
+    if "deepcmp" in which:
+        # Deep-bucket DB (PATRIC density): sub-bucket 2-gather layout vs
+        # the n_steps binary search, probing in-range (hi, lo) codes.
+        from close_kmers_tpu.core.engine import DeviceDB, probe_windows
+        from close_kmers_tpu.db.signature_db import SignatureDB
+        from close_kmers_tpu.params import LO_CARD
+
+        n = int(os.environ.get("EXP_DEEP_KEYS", 20_000_000))
+        hi_span = int(os.environ.get("EXP_DEEP_SPAN", 64_000))
+        his = rng.integers(0, hi_span, size=n, dtype=np.int64)
+        los = rng.integers(0, LO_CARD, size=n, dtype=np.int64)
+        keys = np.unique(his * LO_CARD + los)
+        db = SignatureDB(
+            keys,
+            rng.integers(0, 4096, size=len(keys)).astype(np.int32),
+            rng.integers(-1, 64, size=len(keys)).astype(np.int32),
+            rng.integers(0, 300, size=len(keys)).astype(np.int32),
+            rng.uniform(0.1, 4.0, size=len(keys)).astype(np.float32),
+        )
+        print(f"deep DB: {len(db):,} keys, max bucket {db.max_bucket}",
+              flush=True)
+        q_hi = jnp.asarray(rng.integers(0, hi_span, size=N_IDX,
+                                        dtype=np.int64).astype(np.int32))
+        q_lo = jnp.asarray(rng.integers(0, LO_CARD, size=N_IDX,
+                                        dtype=np.int64).astype(np.int32))
+        valid = jnp.ones((N_IDX,), bool)
+
+        def probe_fn(c, bp, lo_t, pay, lw, pw, sh, sb, hi_q, lo_q, vq,
+                     *, n_steps, nn, ww):
+            ddb = DeviceDB(bp, lo_t, pay, n_steps, nn, lw, pw, ww, sh, sb)
+            found, fi, oi, av, wt, idx = probe_windows(
+                ddb, hi_q[None, :], lo_q[None, :], vq[None, :])
+            return (c + fi.sum().astype(jnp.float32) + wt.sum()
+                    + found.sum().astype(jnp.float32))
+
+        for name, kw in (("deep_sub", dict()), ("deep_bin", dict(sub=False))):
+            d = DeviceDB.from_db(db, **kw)
+            print(f"  [{name}: sub_blocks="
+                  f"{None if d.sub_blocks is None else d.sub_blocks.shape}"
+                  f" n_steps={d.n_steps}]", flush=True)
+            measure(name, functools.partial(
+                probe_fn, n_steps=d.n_steps, nn=d.n, ww=d.wide_w),
+                d.bucket_pair, d.lo, d.payload, d.lo_wide, d.payload_wide,
+                d.sub_header, d.sub_blocks, q_hi, q_lo, valid)
+            del d
+
     if "probe2g" in which:
         lo_tab = jnp.asarray(
             rng.integers(0, 100, size=(N_ROWS, 32), dtype=np.int64)

@@ -207,3 +207,54 @@ def test_encode_paths_parity(setup, monkeypatch):
     b = [np.asarray(x) for x in E2.encode_windows(o, l)]  # log-tree path
     for x, y in zip(a, b):
         assert np.array_equal(x, y)
+
+
+def test_sub_bucket_probe_matches_binary_search():
+    """Deep-bucket DBs (PATRIC density: hundreds of entries per hi
+    bucket) use the 2-gather sub-bucket block layout; its probe outputs
+    must equal the binary-search fallback's exactly."""
+    import jax.numpy as jnp
+    from close_kmers_tpu.core.engine import DeviceDB, _probe_batch_jit
+    from close_kmers_tpu.db.signature_db import SignatureDB
+    from close_kmers_tpu.params import LO_CARD
+
+    rng = np.random.default_rng(11)
+    # keys concentrated in a narrow hi range -> ~160 entries per bucket
+    n = 80_000
+    his = rng.integers(1000, 1500, size=n, dtype=np.int64)
+    los = rng.integers(0, LO_CARD, size=n, dtype=np.int64)
+    keys = np.unique(his * LO_CARD + los)
+    db = SignatureDB(
+        keys,
+        rng.integers(0, 99, size=len(keys)).astype(np.int32),
+        rng.integers(-1, 8, size=len(keys)).astype(np.int32),
+        rng.integers(0, 300, size=len(keys)).astype(np.int32),
+        rng.uniform(0.1, 3.0, size=len(keys)).astype(np.float32),
+    )
+    assert db.max_bucket > DeviceDB.WIDE_BUCKET_MAX
+
+    d_sub = DeviceDB.from_db(db)
+    assert d_sub.sub_blocks is not None and d_sub.payload_wide is None
+    d_bin = DeviceDB.from_db(db, sub=False)
+    assert d_bin.sub_blocks is None
+
+    # queries: half spelled from DB kmers (hits), half random (misses)
+    from close_kmers_tpu.ops.encoder import decode_kmer, seq_to_offsets
+    B, L = 8, 96
+    offsets = rng.integers(0, 20, size=(B, L)).astype(np.uint8)
+    lengths = np.full(B, L, dtype=np.int32)
+    for b in range(B):
+        for p in (4, 30, 61):
+            km = decode_kmer(int(keys[rng.integers(0, len(keys))]))
+            offsets[b, p:p + 8] = seq_to_offsets(km)
+    o, l = jnp.asarray(offsets), jnp.asarray(lengths)
+
+    outs = []
+    for d in (d_sub, d_bin):
+        out = _probe_batch_jit(d.bucket_pair, d.lo, d.payload, d.n,
+                               d.n_steps, o, l, d.lo_wide, d.payload_wide,
+                               d.wide_w, d.sub_header, d.sub_blocks)
+        outs.append([np.asarray(x) for x in out])
+    assert outs[0][0].any()
+    for k in range(5):
+        assert np.array_equal(outs[0][k], outs[1][k]), k
