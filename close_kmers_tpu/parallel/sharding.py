@@ -86,6 +86,12 @@ class ShardedDB:
     payload_wide: jax.Array | None = None   # i32[S, Hmax, 1+5W (+pad)]
     row_base: np.ndarray | None = None      # i64[S+1] global row offsets
     wide_w: int = 0                         # true W (rows lane-padded)
+    # Deep-bucket sub-bucket layout, per shard with LOCAL hi / row ids
+    # (see engine.DeviceDB sub_header/sub_blocks); built instead of wide
+    # rows when buckets exceed WIDE_BUCKET_MAX — at PATRIC density every
+    # shard is deep, so the binary-search fallback would dominate.
+    sub_header: jax.Array | None = None     # i32[S, Hmax, SUB]
+    sub_blocks: jax.Array | None = None     # i32[S, NBmax+1, 1+5*max_sub]
 
     @classmethod
     def from_db(cls, db: SignatureDB, mesh: Mesh,
@@ -148,32 +154,88 @@ class ShardedDB:
             if max_bucket else 1
         hi_base = h_bounds[:-1].astype(np.int32).reshape(S, 1)
 
+        sub_h = sub_b = None
+        if pw is None and n:
+            sub_h, sub_b = cls._build_sub(db, S, h_bounds, row_base, Hmax)
+
         shard = NamedSharding(mesh, P("table", None))
         put = lambda a: jax.device_put(jnp.asarray(a), shard)
         return cls(put(bp), put(lo), put(payload), put(hi_base),
                    n_steps, m, S, mesh,
                    payload_wide=put(pw) if pw is not None else None,
                    row_base=row_base,
-                   wide_w=WIDE if pw is not None else 0)
+                   wide_w=WIDE if pw is not None else 0,
+                   sub_header=put(sub_h) if sub_h is not None else None,
+                   sub_blocks=put(sub_b) if sub_b is not None else None)
+
+    @staticmethod
+    def _build_sub(db: SignatureDB, S, h_bounds, row_base, Hmax):
+        """Per-shard sub-bucket layout (engine.DeviceDB.from_db's deep
+        path with local hi and local block starts), padded to uniform
+        [S, ...] shapes.  Returns (header [S, Hmax, SUB],
+        blocks [S, NBmax+1, 1+5*max_sub]) or (None, None) if gated."""
+        from ..params import LO_CARD
+        SUB = DeviceDB.SUB
+        shift = (LO_CARD - 1).bit_length() - (SUB.bit_length() - 1)
+        skey = db.hi.astype(np.int64) * SUB + (db.lo >> shift)
+        per = []
+        max_sub = 0
+        nb_max = 0
+        for s in range(S):
+            a, b = int(row_base[s]), int(row_base[s + 1])
+            uk, us, uc = np.unique(skey[a:b], return_index=True,
+                                   return_counts=True)
+            per.append((uk, us, uc, a))
+            if len(uc):
+                max_sub = max(max_sub, int(uc.max()))
+            nb_max = max(nb_max, len(uk))
+        if max_sub == 0 or max_sub > DeviceDB.SUB_BUCKET_MAX:
+            return None, None
+        row_w = 1 + 5 * max_sub
+        if S * (nb_max + 1) * row_w * 4 > S * DeviceDB.SUB_MAX_BYTES:
+            return None, None
+        header = np.full((S, Hmax, SUB), nb_max, dtype=np.int32)
+        blocks = np.zeros((S, nb_max + 1, row_w), dtype=np.int32)
+        blocks[:, :, 1:1 + max_sub] = 2 ** 30   # lo sentinel everywhere
+        planes = (db.lo, db.fi, db.oi, db.avg_off, db.wt.view(np.int32))
+        for s, (uk, us, uc, a) in enumerate(per):
+            nb = len(uk)
+            m_loc = int(row_base[s + 1] - row_base[s])
+            blocks[s, :, 0] = m_loc           # miss/pad rows -> local miss
+            if not nb:
+                continue
+            blocks[s, :nb, 0] = us            # local start (us is local)
+            h0 = int(h_bounds[s])
+            header[s, (uk // SUB).astype(np.int64) - h0, uk % SUB] = \
+                np.arange(nb, dtype=np.int32)
+            for j in range(max_sub):
+                mk = uc > j
+                rows = a + us[mk] + j
+                for p, plane in enumerate(planes):
+                    blocks[s, :nb][mk, 1 + p * max_sub + j] = plane[rows]
+        return header, blocks
 
     def probe_args(self):
         return (self.bucket_pair, self.lo, self.payload, self.hi_base,
-                self.payload_wide)
+                self.payload_wide, self.sub_header, self.sub_blocks)
 
 
-def _local_probe_full(bp, lo, payload, hi_base, pw, offsets, lengths, *,
-                      n_steps, m, wide_w=0):
+def _local_probe_full(bp, lo, payload, hi_base, pw, sh, sb,
+                      offsets, lengths, *, n_steps, m, wide_w=0):
     """Per-device probe against the local table shard.  Returns the
     UNMERGED local results plus (hi_q, lo_q): found/payloads are zero
     outside the shard's key range; idx is the local row (m = miss)."""
     hi_q, lo_q, valid = encode_windows(offsets, lengths)
-    if pw is not None:
-        # shard-local payload-wide rows: localize hi and mask the range
-        Hmax = pw.shape[1]
+    if pw is not None or sh is not None:
+        # shard-local hi-indexed layout (payload-wide rows or sub-bucket
+        # blocks): localize hi and mask the range
+        Hmax = pw.shape[1] if pw is not None else sh.shape[1]
         hi_loc = hi_q - hi_base[0, 0]
         in_r = (hi_loc >= 0) & (hi_loc < Hmax)
         ddb = DeviceDB(bp[0], lo[0], payload[0], n_steps, m,
-                       None, pw[0], wide_w)
+                       None, pw[0] if pw is not None else None, wide_w,
+                       sh[0] if sh is not None else None,
+                       sb[0] if sb is not None else None)
         found, p_fi, p_oi, p_av, p_wt, idx = probe_windows(
             ddb, jnp.clip(hi_loc, 0, Hmax - 1), lo_q, valid & in_r)
     else:
@@ -195,30 +257,35 @@ def _merge_probe(found, p_fi, p_oi, p_av, p_wt):
     )
 
 
-def _local_probe(bp, lo, payload, hi_base, pw, offsets, lengths, *,
-                 n_steps, m, wide_w=0):
+def _local_probe(bp, lo, payload, hi_base, pw, sh, sb, offsets, lengths,
+                 *, n_steps, m, wide_w=0):
     """Probe + cross-shard merge (the original 7-tuple interface)."""
     found, p_fi, p_oi, p_av, p_wt, _idx, hi_q, lo_q = _local_probe_full(
-        bp, lo, payload, hi_base, pw, offsets, lengths,
+        bp, lo, payload, hi_base, pw, sh, sb, offsets, lengths,
         n_steps=n_steps, m=m, wide_w=wide_w)
     return _merge_probe(found, p_fi, p_oi, p_av, p_wt) + (hi_q, lo_q)
 
 
+def _tbl(a, ndim=3):
+    """Shard-map spec for an optional [S, ...] table-sharded array."""
+    return P("table", *([None] * (ndim - 1))) if a is not None else P()
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_steps", "m", "mesh", "wide_w"))
-def _probe_sharded_jit(bp, lo, payload, hi_base, pw, n_steps, m, mesh,
-                       offsets, lengths, wide_w=0):
+def _probe_sharded_jit(bp, lo, payload, hi_base, pw, sh, sb,
+                       n_steps, m, mesh, offsets, lengths, wide_w=0):
     fn = jax.shard_map(
         functools.partial(_local_probe, n_steps=n_steps, m=m,
                           wide_w=wide_w),
         mesh=mesh,
         in_specs=(P("table", None, None), P("table", None),
                   P("table", None, None), P("table", None),
-                  P("table", None, None) if pw is not None else P(),
+                  _tbl(pw), _tbl(sh), _tbl(sb),
                   P("data", None), P("data")),
         out_specs=(P("data", None),) * 7,
     )
-    return fn(bp, lo, payload, hi_base, pw, offsets, lengths)
+    return fn(bp, lo, payload, hi_base, pw, sh, sb, offsets, lengths)
 
 
 def probe_sharded(sdb: ShardedDB, offsets, lengths):
@@ -247,7 +314,7 @@ def shard_fam_table(fam_np: np.ndarray, sdb: ShardedDB) -> jax.Array:
     return jax.device_put(jnp.asarray(out), shard)
 
 
-def _annotate_step_local(bp, lo, payload, hi_base, pw, fam_tab,
+def _annotate_step_local(bp, lo, payload, hi_base, pw, sh, sb, fam_tab,
                          offsets, lengths, *, n_steps, m, cap_seq,
                          wide_w=0):
     """One full device-side annotation step: probe + psum merge + the
@@ -258,7 +325,7 @@ def _annotate_step_local(bp, lo, payload, hi_base, pw, fam_tab,
     from ..core.device_score import _scan_score
 
     lfound, l_fi, l_oi, l_av, l_wt, l_idx, hi_q, lo_q = _local_probe_full(
-        bp, lo, payload, hi_base, pw, offsets, lengths,
+        bp, lo, payload, hi_base, pw, sh, sb, offsets, lengths,
         n_steps=n_steps, m=m, wide_w=wide_w)
     found, p_fi, p_oi, p_av, p_wt = _merge_probe(
         lfound, l_fi, l_oi, l_av, l_wt)
@@ -292,7 +359,7 @@ def _annotate_step_local(bp, lo, payload, hi_base, pw, fam_tab,
 @functools.partial(jax.jit,
                    static_argnames=("n_steps", "m", "mesh", "cap_seq",
                                     "wide_w"))
-def _annotate_step_jit(bp, lo, payload, hi_base, pw, fam_tab,
+def _annotate_step_jit(bp, lo, payload, hi_base, pw, sh, sb, fam_tab,
                        n_steps, m, mesh, cap_seq, offsets, lengths,
                        wide_w=0):
     n_out = 5 + (1 if fam_tab is not None else 0)
@@ -302,14 +369,15 @@ def _annotate_step_jit(bp, lo, payload, hi_base, pw, fam_tab,
         mesh=mesh,
         in_specs=(P("table", None, None), P("table", None),
                   P("table", None, None), P("table", None),
-                  P("table", None, None) if pw is not None else P(),
+                  _tbl(pw), _tbl(sh), _tbl(sb),
                   P("table", None, None) if fam_tab is not None else P(),
                   P("data", None), P("data")),
         out_specs=(P("data"), P("data"), P("data", None), P("data"),
                    P("data")) + ((P("data"),) if fam_tab is not None
                                  else ()),
     )
-    return fn(bp, lo, payload, hi_base, pw, fam_tab, offsets, lengths)
+    return fn(bp, lo, payload, hi_base, pw, sh, sb, fam_tab,
+              offsets, lengths)
 
 
 def annotate_step_sharded(sdb: ShardedDB, offsets, lengths,

@@ -138,3 +138,48 @@ def test_sharded_family_rollup_matches_single_chip(corpus):
     assert got is not None
     for a, b in zip(got, want):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_deep_bucket_sub_layout(corpus):
+    """A deep-bucket DB (buckets beyond the wide-row bound) must probe
+    through the per-shard sub-bucket layout and still match the
+    single-chip result exactly."""
+    from close_kmers_tpu.db.signature_db import SignatureDB
+    from close_kmers_tpu.params import LO_CARD
+
+    rng = np.random.default_rng(13)
+    n = 60_000
+    his = rng.integers(2000, 2400, size=n, dtype=np.int64)
+    los = rng.integers(0, LO_CARD, size=n, dtype=np.int64)
+    keys = np.unique(his * LO_CARD + los)
+    db = SignatureDB(
+        keys,
+        rng.integers(0, 50, size=len(keys)).astype(np.int32),
+        rng.integers(-1, 8, size=len(keys)).astype(np.int32),
+        rng.integers(0, 300, size=len(keys)).astype(np.int32),
+        rng.uniform(0.1, 3.0, size=len(keys)).astype(np.float32),
+    )
+    from close_kmers_tpu.core.engine import DeviceDB
+    assert db.max_bucket > DeviceDB.WIDE_BUCKET_MAX
+
+    # queries spell DB kmers at known spots (plus random misses)
+    from close_kmers_tpu.ops.encoder import decode_kmer, seq_to_offsets
+    from close_kmers_tpu.ops import encoder as E
+    seqs = []
+    for i in range(16):
+        s = "".join(rng.choice(list(E.PROT_ALPHA), size=64))
+        km = decode_kmer(int(keys[rng.integers(0, len(keys))]))
+        seqs.append(s[:10] + km + s[18:])
+
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    want = fa.probe_compact(offsets, lengths)
+    assert len(want["pos"]) >= 16
+
+    mesh = make_mesh(2, 4)
+    se = ShardedEngine(db, mesh)
+    assert se.sdb.sub_blocks is not None and se.sdb.payload_wide is None
+    got = se.probe_compact(offsets, lengths)
+    for k in ("pos", "fi", "oi", "avg_off", "code", "row_off"):
+        assert np.array_equal(got[k], want[k]), k
+    assert np.array_equal(np.float32(got["wt"]), np.float32(want["wt"]))
