@@ -150,13 +150,14 @@ def rollup_from_fams(fams, cap_seq: int):
          jax.lax.bitcast_convert_type(ws_d, jnp.int32), first_d], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("cap_seq", "wide_w"))
+@functools.partial(jax.jit,
+                   static_argnames=("cap_seq", "wide_w", "sub_w"))
 def _family_rollup_jit(bucket_pair, lo_arr, payload,
                        n, n_steps, fam_tab, offsets, lengths, cap_seq,
                        lo_wide=None, payload_wide=None, wide_w=0,
-                       sub_header=None, sub_blocks=None):
+                       sub_header=None, sub_blocks=None, sub_w=0):
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
-                   payload_wide, wide_w, sub_header, sub_blocks)
+                   payload_wide, wide_w, sub_header, sub_blocks, sub_w)
     hi, lo, valid = encode_windows(offsets, lengths)
     found, _fi, _oi, _av, _wt, idx = probe_windows(ddb, hi, lo, valid)
     fams = fam_tab[idx]                      # [B, W, D]
@@ -174,12 +175,13 @@ def _family_rollup_jit(bucket_pair, lo_arr, payload,
 @functools.partial(
     jax.jit,
     static_argnames=("min_hits", "min_weighted_hits", "max_gap",
-                     "order_constraint", "call_cap", "cap_seq", "wide_w"))
+                     "order_constraint", "call_cap", "cap_seq", "wide_w",
+                     "sub_w"))
 def _score_family_jit(bucket_pair, lo_arr, payload, n, n_steps, fam_tab,
                       offsets, lengths, min_hits, min_weighted_hits,
                       max_gap, order_constraint, call_cap, cap_seq,
                       lo_wide=None, payload_wide=None, wide_w=0,
-                      sub_header=None, sub_blocks=None):
+                      sub_header=None, sub_blocks=None, sub_w=0):
     """The family-serving program: ONE probe feeding both the scoring
     scan (packed CALL buffer, same layout as device_score._probe_score_jit)
     and the family rollup (packed rows).  /lookup?find_best_match=1 needs
@@ -187,7 +189,7 @@ def _score_family_jit(bucket_pair, lo_arr, payload, n, n_steps, fam_tab,
     from .device_score import _scan_score
 
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
-                   payload_wide, wide_w, sub_header, sub_blocks)
+                   payload_wide, wide_w, sub_header, sub_blocks, sub_w)
     hi, lo, valid = encode_windows(offsets, lengths)
     found, p_fi, _oi, p_av, p_wt, idx = probe_windows(ddb, hi, lo, valid)
 
@@ -246,7 +248,7 @@ class DeviceFamilyScorer:
             d.n_steps, self.fdb.fam,
             jnp.asarray(offsets), jnp.asarray(lengths), fams_per_seq_cap,
             d.lo_wide, d.payload_wide, d.wide_w, d.sub_header,
-            d.sub_blocks)
+            d.sub_blocks, d.sub_w)
         return out, fams_per_seq_cap
 
     @staticmethod
@@ -299,7 +301,7 @@ class DeviceFamilyScorer:
             params.min_hits, params.min_weighted_hits, params.max_gap,
             params.order_constraint, call_cap, fams_per_seq_cap,
             d.lo_wide, d.payload_wide, d.wide_w, d.sub_header,
-            d.sub_blocks)
+            d.sub_blocks, d.sub_w)
         return calls_out, call_cap, rows, fams_per_seq_cap
 
     def _rollup(self, offsets: np.ndarray, lengths: np.ndarray,

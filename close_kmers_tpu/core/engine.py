@@ -100,6 +100,9 @@ class DeviceDB:
     # select + block gather — 2 gather ops regardless of bucket depth.
     sub_header: jax.Array | None = None   # i32[HI_CARD, SUB]
     sub_blocks: jax.Array | None = None   # i32[n_nonempty+1, 1+5*max_sub]
+    # true per-block width (rows lane-padded like payload_wide; 0 =
+    # unpadded, derive from shape)
+    sub_w: int = 0
 
     WIDE_BUCKET_MAX = 32  # memory/time tradeoff bound (HI_CARD*W*4 bytes)
     WIDE_PAYLOAD_MAX_BYTES = 2 << 30
@@ -160,6 +163,7 @@ class DeviceDB:
             lo_wide = put(jnp.asarray(lw))
 
         sub_header = sub_blocks = None
+        sub_w = 0
         if sub is None:
             sub = not wide and n > 0
         if sub and not wide and n:
@@ -172,7 +176,7 @@ class DeviceDB:
             nb = len(ukeys)
             if (max_sub <= cls.SUB_BUCKET_MAX
                     and (nb + 1) * (1 + 5 * max_sub) * 4 <= cls.SUB_MAX_BYTES):
-                row_w = 1 + 5 * max_sub
+                row_w = _lane_pad(1 + 5 * max_sub)
                 blocks = np.zeros((nb + 1, row_w), dtype=np.int32)
                 blocks[:, 1:1 + max_sub] = 2 ** 30  # lo sentinel
                 blocks[:nb, 0] = ustart
@@ -189,6 +193,7 @@ class DeviceDB:
                     np.arange(nb, dtype=np.int32)
                 sub_header = put(jnp.asarray(header))
                 sub_blocks = put(jnp.asarray(blocks))
+                sub_w = max_sub
         return cls(
             bucket_pair=put(jnp.asarray(pair)),
             lo=put(jnp.asarray(lo)),
@@ -200,6 +205,7 @@ class DeviceDB:
             wide_w=wide_w,
             sub_header=sub_header,
             sub_blocks=sub_blocks,
+            sub_w=sub_w,
         )
 
 
@@ -442,8 +448,8 @@ def probe_windows(ddb: DeviceDB, hi, lo, valid):
         onehot = (subix[:, None] == jax.lax.broadcasted_iota(
             jnp.int32, (1, SUB), 1)).astype(jnp.int32)
         bid = (hrow * onehot).sum(axis=-1)
-        row = ddb.sub_blocks[bid]                     # [N, 1 + 5*max_sub]
-        Wd = (row.shape[-1] - 1) // 5
+        row = ddb.sub_blocks[bid]             # [N, 1 + 5*max_sub (+pad)]
+        Wd = ddb.sub_w or (row.shape[-1] - 1) // 5
         sel = _select_payload_row(row, lof, Wd)
         return _finish_select(sel, sh, valid, ddb.n)
 
@@ -486,12 +492,12 @@ def probe_windows(ddb: DeviceDB, hi, lo, valid):
     return (found, row[..., 0], row[..., 1], row[..., 2], wt, idx)
 
 
-@functools.partial(jax.jit, static_argnames=("wide_w",))
+@functools.partial(jax.jit, static_argnames=("wide_w", "sub_w"))
 def _probe_batch_jit(bucket_pair, lo_arr, payload, n, n_steps,
                      offsets, lengths, lo_wide=None, payload_wide=None,
-                     wide_w=0, sub_header=None, sub_blocks=None):
+                     wide_w=0, sub_header=None, sub_blocks=None, sub_w=0):
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
-                   payload_wide, wide_w, sub_header, sub_blocks)
+                   payload_wide, wide_w, sub_header, sub_blocks, sub_w)
     hi, lo, valid = encode_windows(offsets, lengths)
     return probe_windows(ddb, hi, lo, valid)[:5]
 
@@ -518,7 +524,7 @@ class TpuEngine:
         out = _probe_batch_jit(d.bucket_pair, d.lo, d.payload, d.n, d.n_steps,
                                jnp.asarray(offsets), jnp.asarray(lengths),
                                d.lo_wide, d.payload_wide, d.wide_w,
-                               d.sub_header, d.sub_blocks)
+                               d.sub_header, d.sub_blocks, d.sub_w)
         return tuple(np.asarray(x) for x in out)
 
     def hits_of_batch(self, seqs: list[str], pad_to: int | None = None):
@@ -617,7 +623,7 @@ class FastAnnotator:
                 d.bucket_pair, d.lo, d.payload, d.n, d.n_steps,
                 jnp.asarray(offsets), jnp.asarray(lengths), cap, d.lo_wide,
                 d.payload_wide, d.wide_w, want_code, d.sub_header,
-                d.sub_blocks))
+                d.sub_blocks, d.sub_w))
             n_hits = out[:B]
             total = int(n_hits.sum())
             if total <= cap or cap >= max_cap:
@@ -698,11 +704,12 @@ def finish_best_call(n_funcs: int, fi3, cnt3, wt3, function_of) -> O.BestCall:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("hit_cap", "wide_w", "want_code"))
+                   static_argnames=("hit_cap", "wide_w", "want_code",
+                                    "sub_w"))
 def _probe_compact_jit(bucket_pair, lo_arr, payload, n, n_steps,
                        offsets, lengths, hit_cap, lo_wide=None,
                        payload_wide=None, wide_w=0, want_code=True,
-                       sub_header=None, sub_blocks=None):
+                       sub_header=None, sub_blocks=None, sub_w=0):
     """Fused probe + on-device hit compaction: hits left-pack into a
     [7, hit_cap] buffer (pos, fi, oi, avg_off, wt-bits, hi, lo) in
     row-major (= per-sequence, position-ordered) order, prefixed by the
@@ -711,7 +718,7 @@ def _probe_compact_jit(bucket_pair, lo_arr, payload, n, n_steps,
     the compact CALL download (through a slow host link the raw grids
     dominate end-to-end time; see PERF.md)."""
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
-                   payload_wide, wide_w, sub_header, sub_blocks)
+                   payload_wide, wide_w, sub_header, sub_blocks, sub_w)
     hi, lo, valid = encode_windows(offsets, lengths)
     found, fi, oi, avg_off, wt, _ = probe_windows(ddb, hi, lo, valid)
     B, W = found.shape

@@ -92,6 +92,7 @@ class ShardedDB:
     # shard is deep, so the binary-search fallback would dominate.
     sub_header: jax.Array | None = None     # i32[S, Hmax, SUB]
     sub_blocks: jax.Array | None = None     # i32[S, NBmax+1, 1+5*max_sub]
+    sub_w: int = 0                          # true block width (lane-padded)
 
     @classmethod
     def from_db(cls, db: SignatureDB, mesh: Mesh,
@@ -155,8 +156,10 @@ class ShardedDB:
         hi_base = h_bounds[:-1].astype(np.int32).reshape(S, 1)
 
         sub_h = sub_b = None
+        sub_w = 0
         if pw is None and n:
-            sub_h, sub_b = cls._build_sub(db, S, h_bounds, row_base, Hmax)
+            sub_h, sub_b, sub_w = cls._build_sub(db, S, h_bounds, row_base,
+                                                 Hmax)
 
         shard = NamedSharding(mesh, P("table", None))
         put = lambda a: jax.device_put(jnp.asarray(a), shard)
@@ -166,14 +169,16 @@ class ShardedDB:
                    row_base=row_base,
                    wide_w=WIDE if pw is not None else 0,
                    sub_header=put(sub_h) if sub_h is not None else None,
-                   sub_blocks=put(sub_b) if sub_b is not None else None)
+                   sub_blocks=put(sub_b) if sub_b is not None else None,
+                   sub_w=sub_w)
 
     @staticmethod
     def _build_sub(db: SignatureDB, S, h_bounds, row_base, Hmax):
         """Per-shard sub-bucket layout (engine.DeviceDB.from_db's deep
         path with local hi and local block starts), padded to uniform
         [S, ...] shapes.  Returns (header [S, Hmax, SUB],
-        blocks [S, NBmax+1, 1+5*max_sub]) or (None, None) if gated."""
+        blocks [S, NBmax+1, 1+5*max_sub (+pad)], max_sub) or
+        (None, None, 0) if gated."""
         from ..params import LO_CARD
         SUB = DeviceDB.SUB
         shift = (LO_CARD - 1).bit_length() - (SUB.bit_length() - 1)
@@ -190,10 +195,11 @@ class ShardedDB:
                 max_sub = max(max_sub, int(uc.max()))
             nb_max = max(nb_max, len(uk))
         if max_sub == 0 or max_sub > DeviceDB.SUB_BUCKET_MAX:
-            return None, None
-        row_w = 1 + 5 * max_sub
+            return None, None, 0
+        from ..core.engine import _lane_pad
+        row_w = _lane_pad(1 + 5 * max_sub)
         if S * (nb_max + 1) * row_w * 4 > S * DeviceDB.SUB_MAX_BYTES:
-            return None, None
+            return None, None, 0
         header = np.full((S, Hmax, SUB), nb_max, dtype=np.int32)
         blocks = np.zeros((S, nb_max + 1, row_w), dtype=np.int32)
         blocks[:, :, 1:1 + max_sub] = 2 ** 30   # lo sentinel everywhere
@@ -213,7 +219,7 @@ class ShardedDB:
                 rows = a + us[mk] + j
                 for p, plane in enumerate(planes):
                     blocks[s, :nb][mk, 1 + p * max_sub + j] = plane[rows]
-        return header, blocks
+        return header, blocks, max_sub
 
     def probe_args(self):
         return (self.bucket_pair, self.lo, self.payload, self.hi_base,
@@ -221,7 +227,7 @@ class ShardedDB:
 
 
 def _local_probe_full(bp, lo, payload, hi_base, pw, sh, sb,
-                      offsets, lengths, *, n_steps, m, wide_w=0):
+                      offsets, lengths, *, n_steps, m, wide_w=0, sub_w=0):
     """Per-device probe against the local table shard.  Returns the
     UNMERGED local results plus (hi_q, lo_q): found/payloads are zero
     outside the shard's key range; idx is the local row (m = miss)."""
@@ -235,7 +241,7 @@ def _local_probe_full(bp, lo, payload, hi_base, pw, sh, sb,
         ddb = DeviceDB(bp[0], lo[0], payload[0], n_steps, m,
                        None, pw[0] if pw is not None else None, wide_w,
                        sh[0] if sh is not None else None,
-                       sb[0] if sb is not None else None)
+                       sb[0] if sb is not None else None, sub_w)
         found, p_fi, p_oi, p_av, p_wt, idx = probe_windows(
             ddb, jnp.clip(hi_loc, 0, Hmax - 1), lo_q, valid & in_r)
     else:
@@ -258,11 +264,11 @@ def _merge_probe(found, p_fi, p_oi, p_av, p_wt):
 
 
 def _local_probe(bp, lo, payload, hi_base, pw, sh, sb, offsets, lengths,
-                 *, n_steps, m, wide_w=0):
+                 *, n_steps, m, wide_w=0, sub_w=0):
     """Probe + cross-shard merge (the original 7-tuple interface)."""
     found, p_fi, p_oi, p_av, p_wt, _idx, hi_q, lo_q = _local_probe_full(
         bp, lo, payload, hi_base, pw, sh, sb, offsets, lengths,
-        n_steps=n_steps, m=m, wide_w=wide_w)
+        n_steps=n_steps, m=m, wide_w=wide_w, sub_w=sub_w)
     return _merge_probe(found, p_fi, p_oi, p_av, p_wt) + (hi_q, lo_q)
 
 
@@ -272,12 +278,14 @@ def _tbl(a, ndim=3):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_steps", "m", "mesh", "wide_w"))
+                   static_argnames=("n_steps", "m", "mesh", "wide_w",
+                                    "sub_w"))
 def _probe_sharded_jit(bp, lo, payload, hi_base, pw, sh, sb,
-                       n_steps, m, mesh, offsets, lengths, wide_w=0):
+                       n_steps, m, mesh, offsets, lengths, wide_w=0,
+                       sub_w=0):
     fn = jax.shard_map(
         functools.partial(_local_probe, n_steps=n_steps, m=m,
-                          wide_w=wide_w),
+                          wide_w=wide_w, sub_w=sub_w),
         mesh=mesh,
         in_specs=(P("table", None, None), P("table", None),
                   P("table", None, None), P("table", None),
@@ -295,7 +303,7 @@ def probe_sharded(sdb: ShardedDB, offsets, lengths):
     return _probe_sharded_jit(*sdb.probe_args(),
                               sdb.n_steps, sdb.m,
                               sdb.mesh, jnp.asarray(offsets),
-                              jnp.asarray(lengths), sdb.wide_w)
+                              jnp.asarray(lengths), sdb.wide_w, sdb.sub_w)
 
 
 def shard_fam_table(fam_np: np.ndarray, sdb: ShardedDB) -> jax.Array:
@@ -316,7 +324,7 @@ def shard_fam_table(fam_np: np.ndarray, sdb: ShardedDB) -> jax.Array:
 
 def _annotate_step_local(bp, lo, payload, hi_base, pw, sh, sb, fam_tab,
                          offsets, lengths, *, n_steps, m, cap_seq,
-                         wide_w=0):
+                         wide_w=0, sub_w=0):
     """One full device-side annotation step: probe + psum merge + the
     complete run/gap/two-hit scoring scan + per-sequence reductions +
     (when fam_tab is present) the cross-shard family rollup.  This is the
@@ -326,7 +334,7 @@ def _annotate_step_local(bp, lo, payload, hi_base, pw, sh, sb, fam_tab,
 
     lfound, l_fi, l_oi, l_av, l_wt, l_idx, hi_q, lo_q = _local_probe_full(
         bp, lo, payload, hi_base, pw, sh, sb, offsets, lengths,
-        n_steps=n_steps, m=m, wide_w=wide_w)
+        n_steps=n_steps, m=m, wide_w=wide_w, sub_w=sub_w)
     found, p_fi, p_oi, p_av, p_wt = _merge_probe(
         lfound, l_fi, l_oi, l_av, l_wt)
     fnd = found > 0
@@ -358,14 +366,14 @@ def _annotate_step_local(bp, lo, payload, hi_base, pw, sh, sb, fam_tab,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_steps", "m", "mesh", "cap_seq",
-                                    "wide_w"))
+                                    "wide_w", "sub_w"))
 def _annotate_step_jit(bp, lo, payload, hi_base, pw, sh, sb, fam_tab,
                        n_steps, m, mesh, cap_seq, offsets, lengths,
-                       wide_w=0):
+                       wide_w=0, sub_w=0):
     n_out = 5 + (1 if fam_tab is not None else 0)
     fn = jax.shard_map(
         functools.partial(_annotate_step_local, n_steps=n_steps, m=m,
-                          cap_seq=cap_seq, wide_w=wide_w),
+                          cap_seq=cap_seq, wide_w=wide_w, sub_w=sub_w),
         mesh=mesh,
         in_specs=(P("table", None, None), P("table", None),
                   P("table", None, None), P("table", None),
@@ -390,7 +398,7 @@ def annotate_step_sharded(sdb: ShardedDB, offsets, lengths,
     return _annotate_step_jit(*sdb.probe_args(), fam_shards,
                               sdb.n_steps, sdb.m,
                               sdb.mesh, cap_seq, jnp.asarray(offsets),
-                              jnp.asarray(lengths), sdb.wide_w)
+                              jnp.asarray(lengths), sdb.wide_w, sdb.sub_w)
 
 
 class ShardedEngine:

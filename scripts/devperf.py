@@ -70,6 +70,7 @@ PARAMS = EngineParams()
 
 
 WIDE_W = 0  # set in main() from the DeviceDB (static: used for slicing)
+SUB_W = 0
 
 
 def _ddb_args(ddb):
@@ -79,7 +80,8 @@ def _ddb_args(ddb):
 
 def _probe(ddb_arrs, n, n_steps, off, ln):
     bp, lo_a, pay, lw, pw, sh, sb = ddb_arrs
-    ddb = DeviceDB(bp, lo_a, pay, n_steps, n, lw, pw, WIDE_W, sh, sb)
+    ddb = DeviceDB(bp, lo_a, pay, n_steps, n, lw, pw, WIDE_W, sh, sb,
+                   SUB_W)
     hi, lo, valid = encode_windows(off, ln)
     return probe_windows(ddb, hi, lo, valid)
 
@@ -142,8 +144,9 @@ def main():
     offsets = offsets[:B]
     lengths = lengths[:B]
     ddb = DeviceDB.from_db(db)
-    global WIDE_W
+    global WIDE_W, SUB_W
     WIDE_W = ddb.wide_w
+    SUB_W = ddb.sub_w
     arrs = _ddb_args(ddb)
     d_off = jax.device_put(jnp.asarray(offsets))
     d_len = jax.device_put(jnp.asarray(lengths))
@@ -172,7 +175,7 @@ def main():
                          off, ln):
             out = _family_rollup_jit(bp, lo_a, pay, len(db), ddb.n_steps,
                                      fam_tab, off, ln, 8, lw, pw, WIDE_W,
-                                     sh, sb)
+                                     sh, sb, SUB_W)
             return c + out[:B].sum().astype(jnp.float32)
 
         stages["family"] = stage_family

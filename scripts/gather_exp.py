@@ -272,8 +272,9 @@ def main():
         valid = jnp.ones((N_IDX,), bool)
 
         def probe_fn(c, bp, lo_t, pay, lw, pw, sh, sb, hi_q, lo_q, vq,
-                     *, n_steps, nn, ww):
-            ddb = DeviceDB(bp, lo_t, pay, n_steps, nn, lw, pw, ww, sh, sb)
+                     *, n_steps, nn, ww, sw):
+            ddb = DeviceDB(bp, lo_t, pay, n_steps, nn, lw, pw, ww, sh, sb,
+                           sw)
             found, fi, oi, av, wt, idx = probe_windows(
                 ddb, hi_q[None, :], lo_q[None, :], vq[None, :])
             return (c + fi.sum().astype(jnp.float32) + wt.sum()
@@ -285,7 +286,8 @@ def main():
                   f"{None if d.sub_blocks is None else d.sub_blocks.shape}"
                   f" n_steps={d.n_steps}]", flush=True)
             measure(name, functools.partial(
-                probe_fn, n_steps=d.n_steps, nn=d.n, ww=d.wide_w),
+                probe_fn, n_steps=d.n_steps, nn=d.n, ww=d.wide_w,
+                sw=d.sub_w),
                 d.bucket_pair, d.lo, d.payload, d.lo_wide, d.payload_wide,
                 d.sub_header, d.sub_blocks, q_hi, q_lo, valid)
             del d

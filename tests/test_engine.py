@@ -253,7 +253,8 @@ def test_sub_bucket_probe_matches_binary_search():
     for d in (d_sub, d_bin):
         out = _probe_batch_jit(d.bucket_pair, d.lo, d.payload, d.n,
                                d.n_steps, o, l, d.lo_wide, d.payload_wide,
-                               d.wide_w, d.sub_header, d.sub_blocks)
+                               d.wide_w, d.sub_header, d.sub_blocks,
+                               d.sub_w)
         outs.append([np.asarray(x) for x in out])
     assert outs[0][0].any()
     for k in range(5):
