@@ -191,6 +191,11 @@ def main(argv=None):
                     help=argparse.SUPPRESS)
     ap.add_argument("--peg-kmer-data", default=None,
                     help=argparse.SUPPRESS)  # vestigial in the reference too
+    ap.add_argument("--jax-profile-dir", default=None,
+                    help="record a jax profiler trace of the serving "
+                         "process into this directory (the gperftools "
+                         "CPU-profile hook analogue, kser.cc:19-21, "
+                         "327-338); view with tensorboard/xprof")
     args = ap.parse_args(argv)
 
     port = args.port if args.port is not None else args.listen_port
@@ -230,6 +235,17 @@ def main(argv=None):
         return 0
 
     from ..server.http import serve
+    if args.jax_profile_dir:
+        import jax
+        jax.profiler.start_trace(args.jax_profile_dir)
+        try:
+            asyncio.run(serve(ctx, port=port,
+                              port_file=args.listen_port_file))
+        finally:
+            jax.profiler.stop_trace()
+            print(f"jax trace written to {args.jax_profile_dir}",
+                  file=sys.stderr)
+        return 0
     asyncio.run(serve(ctx, port=port, port_file=args.listen_port_file))
     return 0
 
