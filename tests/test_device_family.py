@@ -153,3 +153,24 @@ def test_rollup_cap_escalation_sticky(setup):
     after = dfs.rollup(offsets, lengths)      # sticky default path
     for a, b in zip(roomy, after):
         assert np.array_equal(a, b)
+
+
+def test_device_rollup_sub_bucket_layout(setup):
+    """The family rollup must be identical when the engine probes via
+    the deep-bucket sub-bucket layout (idx stays the global DB row)."""
+    from close_kmers_tpu.core.engine import DeviceDB
+
+    db, seqs, mapping = setup
+    dfs_wide = DeviceFamilyScorer(db, mapping)
+    assert dfs_wide.ddb.payload_wide is not None
+    ddb_sub = DeviceDB.from_db(db, wide=False)
+    assert ddb_sub.sub_blocks is not None
+    dfs_sub = DeviceFamilyScorer(db, mapping, ddb=ddb_sub)
+
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    a = dfs_wide.rollup(offsets, lengths)
+    b = dfs_sub.rollup(offsets, lengths)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x, dtype=np.float64),
+                              np.asarray(y, dtype=np.float64))
