@@ -98,6 +98,19 @@ def stage_probe(c, ddb_arrs, n, n_steps, off, ln):
         found.sum().astype(jnp.float32)
 
 
+def make_stage_probe_raw(hi_d, lo_d, valid_d):
+    """Probe fed pre-staged (hi, lo, valid) device arrays — isolates the
+    gather+selection from the encode/where preprocessing."""
+    def stage_probe_raw(c, ddb_arrs, n, n_steps, off, ln):
+        bp, lo_a, pay, lw, pw, sh, sb = ddb_arrs
+        ddb = DeviceDB(bp, lo_a, pay, n_steps, n, lw, pw, WIDE_W, sh, sb,
+                       SUB_W)
+        found, fi, oi, av, wt, idx = probe_windows(ddb, hi_d, lo_d, valid_d)
+        return c + fi.sum().astype(jnp.float32) + wt.sum() + \
+            found.sum().astype(jnp.float32)
+    return stage_probe_raw
+
+
 def stage_scan(c, ddb_arrs, n, n_steps, off, ln):
     found, fi, oi, av, wt, idx = _probe(ddb_arrs, n, n_steps, off, ln)
     emit, fields = _scan_score(found, fi, av, wt, PARAMS.min_hits,
@@ -155,6 +168,12 @@ def main():
 
     stages = dict(encode=stage_encode, probe=stage_probe, scan=stage_scan,
                   compact=stage_compact, best=stage_best)
+    if "probe_raw" in which:
+        hi0, lo0, valid0 = encode_windows(d_off, d_len)
+        hi_d = jax.device_put(np.asarray(hi0))
+        lo_d = jax.device_put(np.asarray(lo0))
+        valid_d = jax.device_put(np.asarray(valid0))
+        stages["probe_raw"] = make_stage_probe_raw(hi_d, lo_d, valid_d)
 
     fam_args = None
     if "family" in which:
@@ -182,7 +201,8 @@ def main():
         fam_args = (fdb.fam,) + arrs
 
     results = {}
-    for name in ("encode", "probe", "scan", "compact", "best", "family"):
+    for name in ("encode", "probe", "probe_raw", "scan", "compact", "best",
+                 "family"):
         if name in which and name in stages:
             if name == "family":
                 results[name] = measure(name, stages[name],
