@@ -11,7 +11,15 @@ of hits, calls, OTU tallies, and best-calls between:
   * the on-device scan scorer (DeviceScorer packed calls)
 
 Runs until --rounds (default 20) or first mismatch; prints a repro seed.
-Usage: JAX_PLATFORMS=cpu python scripts/fuzz_parity.py [--rounds N]
+Usage: python scripts/fuzz_parity.py [--rounds N] [--tpu]
+
+Runs on the CPU backend by default: the container's sitecustomize pins
+JAX_PLATFORMS to the TPU tunnel before any user code, so a plain env
+override is silently ignored — we must call jax.config.update before the
+backend initializes (same trick as tests/conftest.py).  Fuzzing on the
+relay-attached chip is also ~10x slower per round and accumulates
+device allocations across the per-round DB shapes until the backend
+reports RESOURCE_EXHAUSTED.
 """
 
 from __future__ import annotations
@@ -159,7 +167,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=20)
     ap.add_argument("--seed0", type=int, default=1000)
+    ap.add_argument("--tpu", action="store_true",
+                    help="fuzz on the real device instead of CPU")
     args = ap.parse_args()
+    if not args.tpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     t0 = time.time()
     total = 0
     for r in range(args.rounds):
@@ -169,6 +183,10 @@ def main():
         except AssertionError as e:
             print(f"MISMATCH at seed {seed}: {e}", flush=True)
             raise
+        # every round compiles fresh shapes; drop the executables so a
+        # long run doesn't exhaust host memory (observed ~290 rounds in)
+        import jax
+        jax.clear_caches()
         print(f"round {r} (seed {seed}) ok  [{time.time()-t0:.0f}s, "
               f"{total} seqs]", flush=True)
     print(f"all {args.rounds} rounds passed ({total} sequences)")
