@@ -64,6 +64,22 @@ class DeviceFamilyDB:
         return cls(put(jnp.asarray(fam)), D)
 
 
+def _gather_fams(fam_tab, idx):
+    """[B, W] matched-row ids -> [B, W, D] family rows, with the flat
+    gather count padded away from power-of-two-rich lengths (the v5e
+    gather cliff — see engine._probe_count_pad).  Pad indices hit the
+    tab's final all-pad row, then are sliced off."""
+    from .engine import _probe_count_pad
+    B, W = idx.shape
+    nflat = B * W
+    npad = _probe_count_pad(nflat)
+    flat = idx.reshape(-1)
+    if npad != nflat:
+        flat = jnp.concatenate([
+            flat, jnp.full(npad - nflat, fam_tab.shape[0] - 1, flat.dtype)])
+    return fam_tab[flat][:nflat].reshape(B, W, -1)
+
+
 def rollup_from_fams(fams, cap_seq: int):
     """Shared rollup core: [B, W, D] gathered family rows (-1 = pad/miss)
     -> per-sequence (family, count, weighted) triples.  Used by the
@@ -160,7 +176,7 @@ def _family_rollup_jit(bucket_pair, lo_arr, payload,
                    payload_wide, wide_w, sub_header, sub_blocks, sub_w)
     hi, lo, valid = encode_windows(offsets, lengths)
     found, _fi, _oi, _av, _wt, idx = probe_windows(ddb, hi, lo, valid)
-    fams = fam_tab[idx]                      # [B, W, D]
+    fams = _gather_fams(fam_tab, idx)        # [B, W, D]
     rows = rollup_from_fams(fams, cap_seq)
     # legacy flat layout (single packed D2H buffer): [B n_per_seq] ++
     # [B*cap fam] ++ [B*cap cnt] ++ [B*cap wt-bits] ++ [B*cap first]
@@ -208,7 +224,7 @@ def _score_family_jit(bucket_pair, lo_arr, payload, n, n_steps, fam_tab,
     ])
     calls_out = jnp.concatenate([n_calls, pack.reshape(-1)])
 
-    fams = fam_tab[idx]
+    fams = _gather_fams(fam_tab, idx)
     rows = rollup_from_fams(fams, cap_seq)
     return calls_out, rows
 

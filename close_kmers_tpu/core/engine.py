@@ -42,6 +42,18 @@ from ..db.signature_db import SignatureDB
 from . import oracle as O
 
 
+def _probe_count_pad(n: int) -> int:
+    """Flattened probe-count padding: XLA's row gather on v5e falls off a
+    cliff when the index-vector length is power-of-two-rich — measured
+    +14 ms per 2.49M-row gather at N = 2,490,368 = 2^17*19 vs N =
+    2,490,000 = 2^4*155625 (scripts/gather_exp.py xla128/pf* sweeps; the
+    full probe went 24 -> 38 ms).  B*W flat window counts are exactly
+    that shape (B a power of two).  Pad the flat index vector to the
+    next length ≡ 8 (mod 16), capping the 2-adic valuation at 3; the <=
+    15 extra probes are masked out after selection."""
+    return n + (8 - n % 16) % 16
+
+
 def _lane_pad(w: int) -> int:
     """Row width for the wide gatherable layouts: the next multiple of
     128 when the waste stays under ~1/3 (lane alignment cuts the gather
@@ -394,6 +406,23 @@ def _select_payload_row(row, lof, Wd):
     return (foundf, pick(1), pick(2), pick(3), pick(4), left + pos)
 
 
+def _pad_flat_probes(hif, lof):
+    """Pad flat probe vectors to a gather-friendly length (see
+    _probe_count_pad).  Pad rows index row 0 with lo sentinel -2 (never
+    matches); callers slice selection outputs back with _unpad_sel."""
+    nflat = hif.shape[0]
+    npad = _probe_count_pad(nflat)
+    if npad == nflat:
+        return hif, lof, nflat
+    hif = jnp.concatenate([hif, jnp.zeros(npad - nflat, hif.dtype)])
+    lof = jnp.concatenate([lof, jnp.full(npad - nflat, -2, lof.dtype)])
+    return hif, lof, nflat
+
+
+def _unpad_sel(sel, nflat):
+    return tuple(a[:nflat] for a in sel)
+
+
 def _finish_select(sel, sh, valid, n):
     """Reshape flat selection results to ``sh`` and apply miss masking
     (fi/oi -> -1, idx -> n)."""
@@ -427,11 +456,11 @@ def probe_windows(ddb: DeviceDB, hi, lo, valid):
         # gather + flat selection runs ~25% faster than the [B, W]-shaped
         # equivalent (scripts/gather_exp.py vs devperf decomposition).
         sh = hi_c.shape
-        hif = hi_c.reshape(-1)
-        lof = lo_c.reshape(-1)
+        hif, lof, nflat = _pad_flat_probes(hi_c.reshape(-1),
+                                           lo_c.reshape(-1))
         row = ddb.payload_wide[hif]            # [N, 1 + 5W (+ pad)]
         Wd = ddb.wide_w or (row.shape[-1] - 1) // 5
-        sel = _select_payload_row(row, lof, Wd)
+        sel = _unpad_sel(_select_payload_row(row, lof, Wd), nflat)
         return _finish_select(sel, sh, valid, ddb.n)
 
     if ddb.sub_blocks is not None:
@@ -439,8 +468,8 @@ def probe_windows(ddb: DeviceDB, hi, lo, valid):
         # pick of the sub-bucket's block id -> payload-wide-format block.
         from ..params import LO_CARD
         sh = hi_c.shape
-        hif = hi_c.reshape(-1)
-        lof = lo_c.reshape(-1)
+        hif, lof, nflat = _pad_flat_probes(hi_c.reshape(-1),
+                                           lo_c.reshape(-1))
         SUB = ddb.sub_header.shape[1]
         shift = (LO_CARD - 1).bit_length() - (SUB.bit_length() - 1)
         subix = jnp.clip(lof, 0, LO_CARD - 1) >> shift
@@ -450,7 +479,7 @@ def probe_windows(ddb: DeviceDB, hi, lo, valid):
         bid = (hrow * onehot).sum(axis=-1)
         row = ddb.sub_blocks[bid]             # [N, 1 + 5*max_sub (+pad)]
         Wd = ddb.sub_w or (row.shape[-1] - 1) // 5
-        sel = _select_payload_row(row, lof, Wd)
+        sel = _unpad_sel(_select_payload_row(row, lof, Wd), nflat)
         return _finish_select(sel, sh, valid, ddb.n)
 
     if ddb.lo_wide is not None:

@@ -354,10 +354,10 @@ def _annotate_step_local(bp, lo, payload, hi_base, pw, sh, sb, fam_tab,
                          jnp.where(fnd, p_wt, 0.0))
     outs = (n_hits, weighted, func_wt[:, :NFUNC_TILE], n_calls, call_wt)
     if fam_tab is not None:
-        from ..core.device_family import rollup_from_fams
+        from ..core.device_family import _gather_fams, rollup_from_fams
         # local family gather (miss rows gather the -1 pad row), then a
         # +1/-1 shifted psum merges shards (exactly one shard can hit)
-        fams_l = fam_tab[0][l_idx]                     # [B, W, D]
+        fams_l = _gather_fams(fam_tab[0], l_idx)       # [B, W, D]
         contrib = jnp.where(lfound[..., None], fams_l + 1, 0)
         fams = jax.lax.psum(contrib, "table") - 1
         outs = outs + (rollup_from_fams(fams, cap_seq),)

@@ -292,6 +292,127 @@ def main():
                 d.sub_header, d.sub_blocks, q_hi, q_lo, valid)
             del d
 
+    if any(e in which for e in ("pf0", "pf1", "pf2", "pf3")):
+        # Bisect the gap between the isolated selection (probe128, ~22ms)
+        # and the in-program probe stage (devperf probe_raw, ~32ms) by
+        # adding probe_windows' extras one at a time on [B, W] inputs:
+        #   pf0 = flat gather+selection (probe128 replica, 2D in/out)
+        #   pf1 = pf0 + input valid-masking wheres
+        #   pf2 = pf1 + _finish_select (found mask, wheres, bitcast)
+        #   pf3 = pf2 with outputs reshaped [B, W] before the sums
+        B = 8192
+        W = (N_IDX + B - 1) // B
+        wd = WD
+        tbl = jnp.asarray(
+            rng.integers(0, 100, size=(N_ROWS, 128), dtype=np.int64)
+            .astype(np.int32))
+        hi2 = jnp.asarray(rng.integers(0, N_ROWS, size=(B, W),
+                                       dtype=np.int64).astype(np.int32))
+        lo2 = jnp.asarray(rng.integers(0, 100, size=(B, W),
+                                       dtype=np.int64).astype(np.int32))
+        val2 = jnp.asarray(rng.random(size=(B, W)) < 0.97)
+
+        def pf(level, c, table, hi, lo, valid):
+            if level >= 1:
+                hi = jnp.where(valid, hi, 0)
+                lo = jnp.where(valid, lo, -2)
+            hif = hi.reshape(-1)
+            lof = lo.reshape(-1)
+            row = table[hif]
+            left = row[:, 0]
+            match = row[:, 1:1 + wd] == lof[:, None]
+            foundf = match.any(axis=-1)
+            m = match.astype(jnp.int32)
+
+            def pick(p):
+                return (row[:, 1 + p * wd:1 + (p + 1) * wd] * m).sum(axis=-1)
+
+            fif, oif, avf, wtb = pick(1), pick(2), pick(3), pick(4)
+            pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
+            idxf = left + pos
+            if level >= 2:
+                sh = hi.shape if level >= 3 else (-1,)
+                found = (valid.reshape(sh) if level >= 3 else
+                         valid.reshape(-1)) & foundf.reshape(sh)
+                fi = jnp.where(found, fif.reshape(sh), -1)
+                oi = jnp.where(found, oif.reshape(sh), -1)
+                av = avf.reshape(sh)
+                wt = jax.lax.bitcast_convert_type(wtb.reshape(sh),
+                                                  jnp.float32)
+                ix = jnp.where(found, idxf.reshape(sh), N_ROWS)
+                return (c + fi.sum().astype(jnp.float32)
+                        + oi.sum().astype(jnp.float32)
+                        + av.sum().astype(jnp.float32) + wt.sum()
+                        + ix.sum().astype(jnp.float32))
+            wt = jax.lax.bitcast_convert_type(wtb, jnp.float32)
+            return (c + jnp.where(foundf, fif, -1).sum().astype(jnp.float32)
+                    + oif.sum().astype(jnp.float32)
+                    + avf.sum().astype(jnp.float32) + wt.sum()
+                    + idxf.sum().astype(jnp.float32))
+
+        for name, lvl in (("pf0", 0), ("pf1", 1), ("pf2", 2), ("pf3", 3)):
+            if name in which:
+                measure(name, functools.partial(pf, lvl),
+                        tbl, hi2, lo2, val2)
+
+    if "pf0f" in which or "pf0p" in which:
+        # pf0 follow-ups: is the 2D->flat reshape of the index operand
+        # what separates pf0 (38ms) from probe128 (22ms)?
+        #   pf0f = identical code, inputs pre-flattened on host
+        #   pf0p = [B, W] inputs with W padded to a lane multiple (384)
+        B = 8192
+        wd = WD
+        tbl = jnp.asarray(
+            rng.integers(0, 100, size=(N_ROWS, 128), dtype=np.int64)
+            .astype(np.int32))
+
+        def pfx(c, table, hi, lo, valid):
+            hif = hi.reshape(-1)
+            lof = lo.reshape(-1)
+            row = table[hif]
+            left = row[:, 0]
+            match = row[:, 1:1 + wd] == lof[:, None]
+            foundf = match.any(axis=-1)
+            m = match.astype(jnp.int32)
+
+            def pick(p):
+                return (row[:, 1 + p * wd:1 + (p + 1) * wd] * m).sum(axis=-1)
+
+            fif, oif, avf, wtb = pick(1), pick(2), pick(3), pick(4)
+            pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
+            idxf = left + pos
+            wt = jax.lax.bitcast_convert_type(wtb, jnp.float32)
+            return (c + jnp.where(foundf, fif, -1).sum().astype(jnp.float32)
+                    + oif.sum().astype(jnp.float32)
+                    + avf.sum().astype(jnp.float32) + wt.sum()
+                    + idxf.sum().astype(jnp.float32))
+
+        for name, W in (("pf0f", None), ("pf0p", 384)):
+            if name not in which:
+                continue
+            shp = (B * 304,) if W is None else (B, W)
+            hi2 = jnp.asarray(rng.integers(0, N_ROWS, size=shp,
+                                           dtype=np.int64).astype(np.int32))
+            lo2 = jnp.asarray(rng.integers(0, 100, size=shp,
+                                           dtype=np.int64).astype(np.int32))
+            val2 = jnp.asarray(rng.random(size=shp) < 0.97)
+            measure(name, pfx, tbl, hi2, lo2, val2)
+
+    if "pfcross" in which:
+        # Cross test: probe_select's exact code on pf-style fresh arrays,
+        # and pfx's code on probe128-style arrays — separates code-epilogue
+        # effects from data/layout effects.
+        B = 8192
+        tbl = jnp.asarray(
+            rng.integers(0, 100, size=(N_ROWS, 128), dtype=np.int64)
+            .astype(np.int32))
+        hi2 = jnp.asarray(rng.integers(0, N_ROWS, size=(B * 304,),
+                                       dtype=np.int64).astype(np.int32))
+        lo2 = jnp.asarray(rng.integers(0, 100, size=(B * 304,),
+                                       dtype=np.int64).astype(np.int32))
+        measure("sel_on_pfdata", functools.partial(probe_select, WD),
+                tbl, hi2, lo2)
+
     if "probe2g" in which:
         lo_tab = jnp.asarray(
             rng.integers(0, 100, size=(N_ROWS, 32), dtype=np.int64)

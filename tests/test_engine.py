@@ -131,6 +131,28 @@ def test_probe_batch_padding_invariance(setup):
     assert [(h.pos, h.fI) for h in h1[0]] == [(h.pos, h.fI) for h in h2[0]]
 
 
+def test_probe_count_pad_rule():
+    # Flat gather counts are padded to the next length ≡ 8 (mod 16) —
+    # the v5e gather-cliff workaround (PERF.md).  Padding must be
+    # monotone, bounded, and idempotent.
+    from close_kmers_tpu.core.engine import _probe_count_pad
+    for n in list(range(1, 70)) + [8192 * 304, 8192 * 304 + 1, 2_490_000]:
+        m = _probe_count_pad(n)
+        assert m >= n and m - n <= 15 and m % 16 == 8
+        assert _probe_count_pad(m) == m
+
+
+def test_probe_flat_pad_parity(setup):
+    # A batch whose flat window count is a multiple of 16 (so the pad
+    # path actually engages) must match the oracle exactly.
+    db, seqs, eng = setup
+    s = seqs[0][:40] if len(seqs[0]) >= 40 else (seqs[0] * 5)[:40]
+    batch = [s] * 16                        # B*W = 16*(pad_L - 8)
+    h = eng.hits_of_batch(batch, pad_to=48)   # flat = 16*40 = 640 ≡ 0
+    for hl in h:
+        assert [(x.pos, x.fI) for x in hl] == [(x.pos, x.fI) for x in h[0]]
+
+
 def test_empty_db():
     db = SignatureDB.from_entries([])
     eng = TpuEngine(db)
