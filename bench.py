@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_SRC = int(os.environ.get("BENCH_N_SRC", 70_000))     # source proteins
 PROT_LEN = int(os.environ.get("BENCH_PROT_LEN", 300))
-N_QUERY = int(os.environ.get("BENCH_N_QUERY", 32_768))
+N_QUERY = int(os.environ.get("BENCH_N_QUERY", 65_536))  # more queries/pass amortize the relay's ~100ms per-transfer floors
 BATCH = int(os.environ.get("BENCH_BATCH", 8192))
 N_CPU = int(os.environ.get("BENCH_N_CPU", 16384))      # baseline sample (large enough to exceed LLC)
 CALL_CAP = float(os.environ.get("BENCH_CALL_CAP", 2))  # calls/seq download cap
