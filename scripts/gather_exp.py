@@ -413,6 +413,42 @@ def main():
         measure("sel_on_pfdata", functools.partial(probe_select, WD),
                 tbl, hi2, lo2)
 
+    if any(e in which for e in ("sortflat_bad", "sortflat_good",
+                                "rowsort_bad", "rowsort_odd")):
+        # Does the power-of-two-rich size cliff hit sorts too?
+        #   sortflat_*: the call-compaction argsort over [B*(W+1)] bools
+        #   rowsort_*:  the family rollup's 3-operand row-local sort
+        B = 8192
+
+        def argsort_fn(c, emit, vals):
+            order = jnp.argsort(~emit, stable=True)[:B * 4]
+            return c + vals[order].sum().astype(jnp.float32)
+
+        for name, n in (("sortflat_bad", 2_498_560),
+                        ("sortflat_good", 2_498_568)):
+            if name not in which:
+                continue
+            emit = jnp.asarray(rng.random(n) < 0.01)
+            vals = jnp.asarray(rng.integers(0, 100, size=n, dtype=np.int64)
+                               .astype(np.int32))
+            measure(name, argsort_fn, emit, vals)
+
+        def rowsort_fn(c, key, wt, pos):
+            sk, sw, sp = jax.lax.sort((key, wt, pos), dimension=1,
+                                      num_keys=1, is_stable=True)
+            return (c + sk[:, :4].sum().astype(jnp.float32) + sw[:, :4].sum()
+                    + sp[:, :4].sum().astype(jnp.float32))
+
+        for name, wd in (("rowsort_bad", 912), ("rowsort_odd", 917)):
+            if name not in which:
+                continue
+            key = jnp.asarray(rng.integers(0, 2 ** 30, size=(B, wd),
+                                           dtype=np.int64).astype(np.int32))
+            wt = jnp.asarray(rng.random((B, wd), dtype=np.float32))
+            pos = jnp.asarray(rng.integers(0, wd, size=(B, wd),
+                                           dtype=np.int64).astype(np.int32))
+            measure(name, rowsort_fn, key, wt, pos)
+
     if "probe2g" in which:
         lo_tab = jnp.asarray(
             rng.integers(0, 100, size=(N_ROWS, 32), dtype=np.int64)
