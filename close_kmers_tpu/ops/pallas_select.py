@@ -7,7 +7,7 @@ payload with a lane compare + five masked sums.  Measured on v5e
 windows but XLA's selection fusion adds another ~12 ms — it re-reads the
 gathered buffer across several fusions.  This kernel does the whole
 selection in ONE pass over the gathered rows (read 1.27 GB, write
-~80 MB), with every op a lane-aligned VPU compare/мasked-sum.
+~80 MB), with every op a lane-aligned VPU compare/masked-sum.
 
 Layout: rows [N, row_w] int32 (N = B*W windows, row_w a multiple of
 128), lo_q [N, 1] int32.  Output [N, 8] int32 columns:

@@ -13,7 +13,12 @@ Two mesh splits are exercised per device count S:
   data:  S x 1  — batch data-parallel (the throughput-scaling axis)
 
 Usage: [BENCH_* env] python scripts/scaling_bench.py [max_devices]
+       python scripts/scaling_bench.py --cpu [max_devices]   # virtual 8-dev mesh
 Prints one line per (split, S): ms/batch, proteins/s, efficiency vs S=1.
+
+Note: plain JAX_PLATFORMS=cpu is silently overridden by the container's
+sitecustomize (it pins the TPU tunnel before user code); --cpu forces
+the virtual CPU mesh via jax.config, like tests/conftest.py.
 """
 
 from __future__ import annotations
@@ -25,6 +30,16 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 os.environ.setdefault("BENCH_N_SRC", "8000")
 os.environ.setdefault("BENCH_N_QUERY", "2048")
