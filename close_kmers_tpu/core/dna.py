@@ -49,7 +49,11 @@ def annotate_dna_batch(engine, items, params: EngineParams | None = None,
     if not flat:
         return []
     offsets, lengths = engine.fa.pad_batch(flat)
-    h = engine.fa.probe_compact(offsets, lengths)
+    h = engine.fa.probe_compact(
+        offsets, lengths,
+        want_code=want_hits,                      # HIT lines only
+        want_oi=want_hits or want_otu,            # OTU voting only
+        want_avg=want_hits or bool(params.order_constraint))
     n_calls, cs, ce, cc, cf, cw, votes = native.score_batch(
         h["pos"], h["fi"], h["oi"], h["avg_off"], h["wt"], h["row_off"],
         params, max_calls_per_seq=max(64, offsets.shape[1] // 4),
@@ -83,7 +87,8 @@ def annotate_dna_batch(engine, items, params: EngineParams | None = None,
 
 
 def probe_long_sequence(engine, seq: str, tile: int = 8192,
-                        want_code: bool = True):
+                        want_code: bool = True, want_oi: bool = True,
+                        want_avg: bool = True):
     """Tile a long protein sequence into overlapping [tile] chunks (halo
     K-1) and probe them as a batch; returns the merged position-ordered
     hit arrays, identical to an untiled probe.
@@ -101,9 +106,9 @@ def probe_long_sequence(engine, seq: str, tile: int = 8192,
     # local positions [0, tile-K); the next tile starts there.
     step = tile - K
     if n <= tile:
-        h = engine.fa.probe_compact(*engine.fa.pad_batch([seq]),
-                                    want_code=want_code)
-        return {k: (v if k == "row_off" else v) for k, v in h.items()}
+        return engine.fa.probe_compact(*engine.fa.pad_batch([seq]),
+                                       want_code=want_code,
+                                       want_oi=want_oi, want_avg=want_avg)
 
     starts = list(range(0, n, step))
     rows = np.full((len(starts), tile + 1), 20, dtype=np.uint8)
@@ -117,7 +122,8 @@ def probe_long_sequence(engine, seq: str, tile: int = 8192,
     # every interior window probed exactly once, tile i contributes
     # positions [0, step) locally; the last tile contributes up to its
     # own scan bound.
-    h = engine.fa.probe_compact(rows, lens, want_code=want_code)
+    h = engine.fa.probe_compact(rows, lens, want_code=want_code,
+                                want_oi=want_oi, want_avg=want_avg)
     pos = h["pos"]
     row = np.repeat(np.arange(len(starts)), np.diff(h["row_off"]))
     abs_pos = pos.astype(np.int64) + np.asarray(starts, dtype=np.int64)[row]
@@ -145,7 +151,9 @@ def annotate_long_sequence(engine, seq_id: str, seq: str,
     from ..native import api as native
 
     params = params or EngineParams()
-    h = probe_long_sequence(engine, seq, tile, want_code=False)
+    h = probe_long_sequence(engine, seq, tile, want_code=False,
+                            want_oi=want_otu,
+                            want_avg=bool(params.order_constraint))
     n_calls, cs, ce, cc, cf, cw, votes = native.score_batch(
         h["pos"], h["fi"], h["oi"], h["avg_off"], h["wt"], h["row_off"],
         params, max_calls_per_seq=65536, want_votes=want_otu)

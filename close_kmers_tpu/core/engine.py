@@ -632,27 +632,34 @@ class FastAnnotator:
         return offsets, lengths
 
     def probe_compact(self, offsets: np.ndarray, lengths: np.ndarray,
-                      hits_per_seq_cap: int = 64, want_code: bool = True):
+                      hits_per_seq_cap: int = 64, want_code: bool = True,
+                      want_oi: bool = True, want_avg: bool = True):
         """Device probe + on-device hit compaction.  Returns a dict of
         concatenated per-sequence hit arrays (pos, fi, oi, avg_off, wt,
         code) plus row_off delimiters.  Downloads only the packed hits
         (cap overflow retries with 4x the cap, rounded to a power of two
-        to bound recompiles).  ``want_code=False`` drops the hi/lo code
-        planes from the download (29% fewer bytes — the dominant cost of
-        hit-heavy genome workloads through a slow host link) and omits
-        the "code" key."""
+        to bound recompiles).
+
+        The ``want_*`` flags drop planes from the download — the
+        dominant cost of hit-heavy genome workloads through a slow host
+        link (PERF.md): ``want_code=False`` drops the hi/lo kmer-code
+        planes (needed only for HIT lines and kmer->family accumulation),
+        ``want_oi=False`` the OTU indices (needed only for OTU voting),
+        ``want_avg=False`` the avg-offsets (read by the scorer only
+        under order_constraint, ckmers.cpp admission drift).  Dropped
+        keys come back as zeros so downstream shapes are unchanged."""
         d = self.ddb
         B = offsets.shape[0]
         W = offsets.shape[1] - K
-        n_planes = 7 if want_code else 5
+        n_planes = 3 + want_oi + want_avg + 2 * want_code
         max_cap = B * W
         cap = min(max_cap, 1 << (B * hits_per_seq_cap - 1).bit_length())
         while True:
             out = np.asarray(_probe_compact_jit(
                 d.bucket_pair, d.lo, d.payload, d.n, d.n_steps,
                 jnp.asarray(offsets), jnp.asarray(lengths), cap, d.lo_wide,
-                d.payload_wide, d.wide_w, want_code, d.sub_header,
-                d.sub_blocks, d.sub_w))
+                d.payload_wide, d.wide_w, want_code, want_oi, want_avg,
+                d.sub_header, d.sub_blocks, d.sub_w))
             n_hits = out[:B]
             total = int(n_hits.sum())
             if total <= cap or cap >= max_cap:
@@ -662,17 +669,21 @@ class FastAnnotator:
         row_off = np.zeros(B + 1, dtype=np.int64)
         np.cumsum(n_hits, out=row_off[1:])
         t = slice(0, total)
-        h = dict(
-            pos=pack[0, t],
-            fi=pack[1, t],
-            oi=pack[2, t],
-            avg_off=pack[3, t],
-            wt=pack[4, t].copy().view(np.float32),
-            row_off=row_off,
-        )
+        zeros = np.zeros(total, dtype=np.int32)
+        h = dict(pos=pack[0, t], fi=pack[1, t], row_off=row_off)
+        p = 2
+        if want_oi:
+            h["oi"], p = pack[p, t], p + 1
+        else:
+            h["oi"] = zeros
+        if want_avg:
+            h["avg_off"], p = pack[p, t], p + 1
+        else:
+            h["avg_off"] = zeros
+        h["wt"] = pack[p, t].copy().view(np.float32)
         if want_code:
-            h["code"] = (pack[5, t].astype(np.int64) * LO_CARD
-                         + pack[6, t].astype(np.int64))
+            h["code"] = (pack[p + 1, t].astype(np.int64) * LO_CARD
+                         + pack[p + 2, t].astype(np.int64))
         return h
 
     def annotate(self, seqs: list[str], params: EngineParams | None = None,
@@ -734,18 +745,19 @@ def finish_best_call(n_funcs: int, fi3, cnt3, wt3, function_of) -> O.BestCall:
 
 @functools.partial(jax.jit,
                    static_argnames=("hit_cap", "wide_w", "want_code",
-                                    "sub_w"))
+                                    "want_oi", "want_avg", "sub_w"))
 def _probe_compact_jit(bucket_pair, lo_arr, payload, n, n_steps,
                        offsets, lengths, hit_cap, lo_wide=None,
                        payload_wide=None, wide_w=0, want_code=True,
+                       want_oi=True, want_avg=True,
                        sub_header=None, sub_blocks=None, sub_w=0):
-    """Fused probe + on-device hit compaction: hits left-pack into a
-    [7, hit_cap] buffer (pos, fi, oi, avg_off, wt-bits, hi, lo) in
-    row-major (= per-sequence, position-ordered) order, prefixed by the
-    per-sequence hit counts.  Download cost scales with the number of
-    hits instead of six full [B, W] grids — the serving-path analogue of
-    the compact CALL download (through a slow host link the raw grids
-    dominate end-to-end time; see PERF.md)."""
+    """Fused probe + on-device hit compaction: hits left-pack into an
+    [n_planes, hit_cap] buffer (pos, fi, [oi], [avg_off], wt-bits,
+    [hi, lo]) in row-major (= per-sequence, position-ordered) order,
+    prefixed by the per-sequence hit counts.  Download cost scales with
+    the number of hits instead of six full [B, W] grids — the
+    serving-path analogue of the compact CALL download (through a slow
+    host link the raw grids dominate end-to-end time; see PERF.md)."""
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
                    payload_wide, wide_w, sub_header, sub_blocks, sub_w)
     hi, lo, valid = encode_windows(offsets, lengths)
@@ -755,13 +767,13 @@ def _probe_compact_jit(bucket_pair, lo_arr, payload, n, n_steps,
     flat = found.reshape(-1)
     order = jnp.argsort(~flat, stable=True)[:hit_cap]
     pos = (order % W).astype(jnp.int32)
-    planes = [
-        pos,
-        fi.reshape(-1)[order],
-        oi.reshape(-1)[order],
-        avg_off.reshape(-1)[order],
-        jax.lax.bitcast_convert_type(wt.reshape(-1)[order], jnp.int32),
-    ]
+    planes = [pos, fi.reshape(-1)[order]]
+    if want_oi:
+        planes.append(oi.reshape(-1)[order])
+    if want_avg:
+        planes.append(avg_off.reshape(-1)[order])
+    planes.append(
+        jax.lax.bitcast_convert_type(wt.reshape(-1)[order], jnp.int32))
     if want_code:
         planes += [hi.reshape(-1)[order], lo.reshape(-1)[order]]
     return jnp.concatenate([n_hits, jnp.stack(planes).reshape(-1)])

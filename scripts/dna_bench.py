@@ -79,7 +79,8 @@ def main():
         frames = six_frames_kguts(genome)     # host translate (numpy LUTs)
         t_tr = time.time() - t0
         for _strand, _off, prot in frames:
-            h = probe_long_sequence(eng, prot, want_code=False)
+            h = probe_long_sequence(eng, prot, want_code=False,
+                                    want_oi=False, want_avg=False)
             nc, *_rest = native.score_batch(
                 h["pos"], h["fi"], h["oi"], h["avg_off"], h["wt"],
                 h["row_off"], params, max_calls_per_seq=65536,

@@ -76,6 +76,21 @@ def test_long_sequence_tiling_equals_untiled(corpus):
     assert np.array_equal(np.float32(h_tiled["wt"]), np.float32(h_ref["wt"]))
 
 
+def test_probe_compact_plane_dropping(corpus):
+    # want_oi/want_avg=False must leave pos/fi/wt identical (only the
+    # download shrinks; dropped keys come back as zeros).
+    rng, db, eng = corpus
+    seq = db._test_prots[0] * 4
+    full = eng.fa.probe_compact(*eng.fa.pad_batch([seq]))
+    slim = eng.fa.probe_compact(*eng.fa.pad_batch([seq]), want_code=False,
+                                want_oi=False, want_avg=False)
+    assert np.array_equal(full["pos"], slim["pos"])
+    assert np.array_equal(full["fi"], slim["fi"])
+    assert np.array_equal(np.float32(full["wt"]), np.float32(slim["wt"]))
+    assert not slim["oi"].any() and not slim["avg_off"].any()
+    assert "code" not in slim
+
+
 def test_annotate_long_sequence_calls(corpus):
     rng, db, eng = corpus
     prot = db._test_prots[0]
