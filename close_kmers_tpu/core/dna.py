@@ -99,7 +99,7 @@ def probe_long_sequence(engine, seq: str, tile: int = 8192,
     ``want_code=False`` skips the kmer-code download (genome workloads
     are download-bound; scoring needs no codes).
     """
-    pI = seq_to_offsets(seq)
+    pI = seq if isinstance(seq, np.ndarray) else seq_to_offsets(seq)
     n = len(pI)
     # halo = K (not K-1): a tile's local scan bound is len-K exclusive
     # (the last-window exclusion, kguts.cc:792), so tile i only covers

@@ -619,14 +619,16 @@ class FastAnnotator:
         self.db = db
         self.ddb = DeviceDB.from_db(db, device=device)
 
-    def pad_batch(self, seqs: list[str], pad_to: int | None = None):
+    def pad_batch(self, seqs: list, pad_to: int | None = None):
+        """Pad protein strings OR pre-encoded uint8 offset arrays into a
+        [B, L] offsets grid + lengths (invalid=20 padding)."""
         B = len(seqs)
         L = max(pad_to or 0, max((len(s) for s in seqs), default=0) + 1, K + 2)
         L = 1 << (L - 1).bit_length()
         offsets = np.full((B, L), 20, dtype=np.uint8)
         lengths = np.zeros(B, dtype=np.int32)
         for i, s in enumerate(seqs):
-            o = seq_to_offsets(s)
+            o = s if isinstance(s, np.ndarray) else seq_to_offsets(s)
             offsets[i, :len(o)] = o
             lengths[i] = len(o)
         return offsets, lengths

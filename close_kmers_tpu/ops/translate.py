@@ -128,6 +128,58 @@ def six_frames_kguts(seq: str | bytes) -> list[tuple[str, int, str]]:
     return out
 
 
+# -- digit-space fast path (no string round-trips) ----------------------
+#
+# The string pipeline (DNA str -> translate -> protein str ->
+# seq_to_offsets) pays two latin-1 encode/decode passes per frame; at
+# genome scale (30M codons across 6 frames) that is ~0.2 s/pass of pure
+# conversion.  These helpers stay in uint8 digit space end-to-end and
+# produce the aa OFFSET arrays the engine consumes directly.
+#
+# Base-5 codon table: digits are 0-3 (acgt) or 4 (ambiguous), so
+# idx5 = d0*25 + d1*5 + d2 < 125 and any codon containing a 4 lands on
+# an entry precomputed to the offset of 'x' (= 20, invalid) — the
+# ambiguity test disappears into the table.
+
+_DIGIT_COMP = np.array([3, 2, 1, 0, 4], dtype=np.uint8)  # a<->t, c<->g
+
+
+def _codon5_offsets(table: np.ndarray) -> np.ndarray:
+    from .encoder import AA_TO_OFFSET
+    t = np.empty(125, dtype=np.uint8)
+    for d0 in range(5):
+        for d1 in range(5):
+            for d2 in range(5):
+                if d0 > 3 or d1 > 3 or d2 > 3:
+                    idx = 64
+                else:
+                    idx = d0 * 16 + d1 * 4 + d2
+                t[d0 * 25 + d1 * 5 + d2] = AA_TO_OFFSET[table[idx]]
+    return t
+
+
+_KGUTS_OFF5 = _codon5_offsets(KGUTS_TABLE)
+
+
+def _frame_offsets(d: np.ndarray, off: int) -> np.ndarray:
+    n = (len(d) - off) // 3
+    if n <= 0:
+        return np.empty(0, dtype=np.uint8)
+    c = d[off:off + 3 * n].reshape(n, 3)
+    return _KGUTS_OFF5[c[:, 0] * np.uint8(25) + c[:, 1] * np.uint8(5)
+                       + c[:, 2]]
+
+
+def six_frame_kguts_offsets(seq: str | bytes) -> list[tuple[str, int, np.ndarray]]:
+    """six_frames_kguts in digit space: (strand, offset, aa-offset uint8
+    array) per frame, byte-equal to seq_to_offsets(translate_kguts(...))
+    (tested), ~3x faster at genome scale."""
+    d = _DNA_CHAR[_to_bytes(seq)]
+    dc = _DIGIT_COMP[d][::-1]
+    return ([("+", off, _frame_offsets(d, off)) for off in range(3)]
+            + [("-", off, _frame_offsets(dc, off)) for off in range(3)])
+
+
 def get_possible_proteins(seq: str | bytes) -> list[tuple[int, list[str]]]:
     """DNASequence::get_possible_proteins parity (dna_seq.cc:9-23): frames
     1,2,3,-1,-2,-3 translated with table 11, each split on runs of '*'

@@ -55,7 +55,7 @@ def main():
     from close_kmers_tpu.core.api import KmerEngine
     from close_kmers_tpu.core.dna import probe_long_sequence
     from close_kmers_tpu.native import api as native
-    from close_kmers_tpu.ops.translate import six_frames_kguts
+    from close_kmers_tpu.ops.translate import six_frame_kguts_offsets
     from close_kmers_tpu.params import EngineParams
 
     cache_dir = os.path.join(bench.CACHE, "jax")
@@ -76,7 +76,7 @@ def main():
     def one_pass():
         t0 = time.time()
         n_calls = n_hits = n_windows = 0
-        frames = six_frames_kguts(genome)     # host translate (numpy LUTs)
+        frames = six_frame_kguts_offsets(genome)  # digit-space translate
         t_tr = time.time() - t0
         for _strand, _off, prot in frames:
             h = probe_long_sequence(eng, prot, want_code=False,

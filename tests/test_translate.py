@@ -79,3 +79,21 @@ def test_get_possible_proteins_split():
     assert prots[0][1] == ["MK", "AC"]
     frames = [p[0] for p in prots]
     assert frames == [1, 2, 3, -1, -2, -3]
+
+
+def test_six_frame_offsets_digit_space_parity():
+    # six_frame_kguts_offsets must equal the string pipeline byte-for-byte,
+    # including IUPAC ambiguity, u/U, and junk characters.
+    from close_kmers_tpu.ops.encoder import seq_to_offsets
+    rng = np.random.default_rng(7)
+    alphabet = list("acgtACGTuUnNrRyYswSWkmbdhvBDHV.x-")
+    for trial in range(8):
+        n = int(rng.integers(1, 400))
+        dna = "".join(rng.choice(alphabet, size=n))
+        want = [(s, o, seq_to_offsets(p))
+                for s, o, p in T.six_frames_kguts(dna)]
+        got = T.six_frame_kguts_offsets(dna)
+        assert len(got) == 6
+        for (s1, o1, a), (s2, o2, b) in zip(want, got):
+            assert (s1, o1) == (s2, o2)
+            assert np.array_equal(a, b), (trial, s1, o1)
