@@ -69,10 +69,12 @@ class KmerEngine:
                                        want_best)[0]
 
     def annotate_with_hits(self, items, params=None, want_hits=False,
-                           want_otu=False, want_best=False):
+                           want_otu=False, want_best=False, want_code=True):
         """annotate() plus the batch's compact hit arrays as an explicit
         return — concurrency-safe (no reliance on the _last_hits stash,
-        which a second caller can overwrite between annotate and read)."""
+        which a second caller can overwrite between annotate and read).
+        ``want_code=False`` lets callers that never touch h["code"]
+        (e.g. /query without details) skip the kmer-code download."""
         from ..native import api as native
 
         params = params or EngineParams()
@@ -80,7 +82,14 @@ class KmerEngine:
         if not items:
             return [], dict(row_off=np.zeros(1, np.int64))
         offsets, lengths = self.fa.pad_batch(seqs)
-        h = self.fa.probe_compact(offsets, lengths)
+        # plane gating (see FastAnnotator.probe_compact): kmer codes feed
+        # HIT lines and kmer->peg/family accumulation; avg_off feeds HIT
+        # lines and the order_constraint drift test; oi feeds OTU voting.
+        h = self.fa.probe_compact(
+            offsets, lengths,
+            want_code=want_hits or want_code,
+            want_oi=want_hits or want_otu,
+            want_avg=want_hits or bool(params.order_constraint))
         n_calls, cs, ce, cc, cf, cw, votes = native.score_batch(
             h["pos"], h["fi"], h["oi"], h["avg_off"], h["wt"], h["row_off"],
             params, max_calls_per_seq=max(64, offsets.shape[1] // 4),

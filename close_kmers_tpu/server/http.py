@@ -217,7 +217,8 @@ async def handle_query(ctx, req, body, writer):
         out = []
         ctx.metrics.inc("proteins", len(items))
         results, _h = await ctx.annotate(items, params, want_hits=details,
-                                         want_otu=True, want_best=find_best)
+                                         want_otu=True, want_best=find_best,
+                                         want_code=bool(details))
         for r in results:
             if find_best:
                 if r.best.function:
