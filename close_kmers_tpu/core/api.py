@@ -235,6 +235,104 @@ class KmerEngine:
             k += n
         return results, seq_scores
 
+    def best_family_matches(self, items, mapping,
+                            params: EngineParams | None = None,
+                            kmer_hit_threshold: int = 3,
+                            allow_ambiguous: bool = False,
+                            target_genus_id: int = 0,
+                            genus_filter: bool = True):
+        """Batch FamilyMapper::find_best_family_match
+        (family_mapper.cc:65-205): one fused device pass (calls + family
+        rollup) then the vectorized best-match scan — no per-sequence
+        Call/dict materialization.  Returns list[family.BestMatch].
+
+        Falls back to annotate_family + the scalar scan when the mapping
+        does not qualify for the device rollup."""
+        from ..native import api as native
+        from .device_family import DeviceFamilyScorer
+        from .device_score import DeviceScorer
+        from .family import find_best_family_match, \
+            find_best_family_matches_batch
+
+        params = params or EngineParams()
+        if not items:
+            return []
+        dfs = self._device_family_scorer(mapping)
+        if dfs is None:
+            results, seq_scores = self.annotate_family(items, mapping,
+                                                       params, want_best=True)
+            return [find_best_family_match(
+                r.best, seq_scores[i], mapping, kmer_hit_threshold,
+                allow_ambiguous, target_genus_id, genus_filter)
+                for i, r in enumerate(results)]
+
+        # Fixed-size chunks (pad the tail with empty sequences): serving
+        # batches vary per request and every distinct B is a fresh
+        # compile through the remote-compile tunnel; chunking also lets
+        # later dispatches overlap earlier readbacks.  Global packs for
+        # both calls and family groups keep D2H proportional to actual
+        # output, not B * per-row caps (the tiny-ORF fq regime is
+        # output-sparse).  Caps escalate x4 on overflow and stick.
+        B0 = len(items)
+        CH = self.FAMILY_MATCH_CHUNK
+        B = CH if B0 > CH else max(256, 1 << (B0 - 1).bit_length())
+        seqs = [s for _, s in items]
+        pending = []
+        for a in range(0, B0, B):
+            chunk = seqs[a:a + B]
+            n = len(chunk)
+            if n < B:
+                chunk = chunk + [""] * (B - n)
+            offsets, lengths = self.fa.pad_batch(chunk)
+            ccap = getattr(dfs, "_bm_ccap", 1)
+            gcap = getattr(dfs, "_bm_gcap", 2 * B)
+            calls_dev, call_cap, rows_dev, _ = dfs.score_family_packed(
+                offsets, lengths, params, ccap, -gcap)
+            pending.append((offsets, lengths, n, calls_dev, call_cap,
+                            rows_dev, gcap))
+
+        bests: list = []
+        rolls = []
+        for offsets, lengths, n, calls_dev, call_cap, rows_dev, gcap \
+                in pending:
+            while True:
+                dense = DeviceScorer.unpack_dense(
+                    np.asarray(calls_dev), B, call_cap)
+                roll = DeviceFamilyScorer.finish_rollup_global(
+                    np.asarray(rows_dev), B, gcap)
+                if dense is not None and roll is not None:
+                    break
+                if dense is None:
+                    dfs._bm_ccap = call_cap // B * 4
+                if roll is None:
+                    dfs._bm_gcap = gcap * 4
+                calls_dev, call_cap, rows_dev, _ = dfs.score_family_packed(
+                    offsets, lengths, params,
+                    getattr(dfs, "_bm_ccap", 1),
+                    -getattr(dfs, "_bm_gcap", 2 * B))
+                gcap = getattr(dfs, "_bm_gcap", 2 * B)
+            n_calls, cs, ce, cc, cf, cw = dense
+            nf, ofi, ocnt, owt = native.best_call_batch(n_calls, cs, ce,
+                                                        cc, cf, cw)
+            bests += [finish_best_call(int(nf[s]), ofi[s], ocnt[s], owt[s],
+                                       self.function_of) for s in range(n)]
+            n_per, fam, counts, weights, first = roll
+            total = int(np.asarray(n_per[:n]).sum())
+            rolls.append((np.asarray(n_per[:n]), fam[:total], counts[:total],
+                          weights[:total], first[:total]))
+
+        n_per = np.concatenate([r[0] for r in rolls])
+        fam = np.concatenate([r[1] for r in rolls])
+        counts = np.concatenate([r[2] for r in rolls])
+        weights = np.concatenate([r[3] for r in rolls])
+        first = np.concatenate([r[4] for r in rolls])
+        return find_best_family_matches_batch(
+            bests, n_per, fam, counts, weights, first, mapping,
+            kmer_hit_threshold, allow_ambiguous, target_genus_id,
+            genus_filter)
+
+    FAMILY_MATCH_CHUNK = 16384
+
     def family_scores_batch(self, mapping, h=None) -> tuple:
         """Per-sequence family score accumulation against ``mapping``'s
         CSR.  ``h``: compact hit arrays from annotate_with_hits; defaults

@@ -93,6 +93,11 @@ def rollup_from_fams(fams, cap_seq: int):
     list) position, letting hosts rebuild the reference's first-hit
     accumulation order (lookup_request.cc:446-469) exactly: downstream
     tie-breaking and PGF-rollup f32 ordering depend on it.
+
+    ``cap_seq < 0`` selects GLOBAL compaction instead: a flat int32
+    buffer [B + 4*(-cap_seq)] of n_per_seq ++ fam/cnt/wt-bits/first
+    planes packed across the whole batch (parse with
+    DeviceFamilyScorer.finish_rollup_global).
     """
     B, W, D = fams.shape
     # 1/degree recomputed from the gathered row (degree = non-pad count);
@@ -151,6 +156,24 @@ def rollup_from_fams(fams, cap_seq: int):
     cntc = jnp.concatenate([ys[2].T, f_cnt[:, None]], axis=1)
     wsc = jnp.concatenate([ys[3].T, f_ws[:, None]], axis=1)
     firstc = jnp.concatenate([ys[4].T, f_first[:, None]], axis=1)
+
+    if cap_seq < 0:
+        # Global compaction to [4, -cap_seq] (the calls-pack pattern):
+        # a flat stable argsort keeps row-major order, so entries stay
+        # grouped by sequence — n_per_seq delimits rows on the host.
+        # D2H scales with the number of (sequence, family) groups, not
+        # B * max-groups-per-row; this is what the fq/tiny-ORF regime
+        # needs, where the dense rows buffer dominates the wire.
+        gcap = -cap_seq
+        n_per_seq = emit.sum(axis=1, dtype=jnp.int32)
+        flat_emit = emit.reshape(-1)
+        order = jnp.argsort(~flat_emit, stable=True)[:gcap]
+        pack = jnp.stack([
+            famc.reshape(-1)[order],
+            cntc.reshape(-1)[order],
+            jax.lax.bitcast_convert_type(wsc.reshape(-1)[order], jnp.int32),
+            firstc.reshape(-1)[order]])
+        return jnp.concatenate([n_per_seq, pack.reshape(-1)])
 
     # Per-row compaction to [B, cap_seq]: emitted groups are already in
     # ascending-family column order, so a stable argsort on ~emit packs
@@ -298,6 +321,20 @@ class DeviceFamilyScorer:
             .view(np.float32)
         first = rows_np[:, 1 + 3 * c:1 + 4 * c][mask]
         return n_per_seq, run_f, counts, weights, first
+
+    @staticmethod
+    def finish_rollup_global(flat_np: np.ndarray, B: int, gcap: int):
+        """Globally-packed rollup buffer (rollup_from_fams with negative
+        cap: [B + 4*gcap]) -> same tuple as finish_rollup; None when the
+        batch's total group count overflows gcap."""
+        n_per_seq = flat_np[:B]
+        total = int(n_per_seq.sum())
+        if total > gcap:
+            return None
+        pack = flat_np[B:].reshape(4, gcap)
+        t = slice(0, total)
+        return (n_per_seq, pack[0, t], pack[1, t],
+                pack[2, t].copy().view(np.float32), pack[3, t])
 
     def score_family_packed(self, offsets, lengths, params,
                             calls_per_seq_cap: int = 4,

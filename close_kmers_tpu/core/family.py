@@ -165,6 +165,127 @@ def find_best_family_match(
         score=best.score, weighted_score=best.weighted_score)
 
 
+def find_best_family_matches_batch(
+    bests: list[O.BestCall],
+    n_per: np.ndarray, fam: np.ndarray, cnt: np.ndarray, wt: np.ndarray,
+    first: np.ndarray,
+    mapping: KmerFamilyMapping,
+    kmer_hit_threshold: int = 3,
+    allow_ambiguous: bool = False,
+    target_genus_id: int = 0,
+    genus_filter: bool = True,
+) -> list[BestMatch]:
+    """Vectorized find_best_family_match over a whole batch, consuming
+    the device rollup arrays directly (no per-sequence dicts).
+
+    Exactness: entries are visited in first-hit order (lexsort by (row,
+    first)); PGF sums accumulate with np.add.at, which applies updates
+    in array order — the same float32 left-fold as the dict loop; the
+    strict-``>`` first-wins scans become min-position-of-max.  Rows whose
+    best call resolves ambiguously (" ?? " with allow_ambiguous) take the
+    scalar path — the dual-rollup selection is stateful and rare.
+
+    Precondition: family ids are unique within a row (the device rollup
+    groups by family, so this always holds for its output; the scalar
+    dict path would collapse duplicates by overwrite).
+    """
+    S = len(bests)
+    func_id, pgf_id, gen_id, pgf_names, plf_names, func_intern = \
+        mapping.family_meta_arrays()
+    F = len(mapping.families)
+    n_per = np.asarray(n_per, dtype=np.int64)
+
+    bestfn = [""] * S
+    bestfn_idx = np.full(S, -1, dtype=np.int64)
+    scalar_rows = []
+    for s, b in enumerate(bests):
+        fn, _ambig, do_ambig = resolve_best_call_function(b, allow_ambiguous)
+        bestfn[s] = fn
+        if do_ambig:
+            scalar_rows.append(s)
+        else:
+            bestfn_idx[s] = func_intern.get(fn, -1)
+
+    N = int(n_per.sum())
+    row = np.repeat(np.arange(S, dtype=np.int64), n_per)
+    order = np.lexsort((np.asarray(first)[:N], row))
+    fam_o = np.asarray(fam)[:N][order].astype(np.int64)
+    cnt_o = np.asarray(cnt)[:N][order]
+    wt_o = np.asarray(wt)[:N][order].astype(np.float32)
+
+    ok = (fam_o >= 0) & (fam_o < F)
+    fid = np.where(ok, fam_o, 0)
+    match = (ok & (cnt_o >= kmer_hit_threshold)
+             & (func_id[fid] == bestfn_idx[row]) & (bestfn_idx[row] >= 0))
+
+    # local family: first strictly-greatest weighted_total among matched
+    # entries (optionally genus-restricted); initial lf_score = 0.0
+    lmask = match & (gen_id[fid] == target_genus_id) if genus_filter \
+        else match
+    neg = np.float32(-np.inf)
+    wl = np.where(lmask, wt_o, neg)
+    lmax = np.full(S, neg, dtype=np.float32)
+    np.maximum.at(lmax, row, wl)
+    pos = np.arange(N, dtype=np.int64)
+    cand = np.where(lmask & (wl == lmax[row]), pos, N)
+    lfirst = np.full(S, N, dtype=np.int64)
+    np.minimum.at(lfirst, row, cand)
+
+    # PGF rollup over matched entries, f32 sums in visit order
+    P = max(len(pgf_names), 1)
+    m_row = row[match]
+    m_pos = pos[match]
+    gkey = m_row * P + pgf_id[fid[match]]
+    uniq, inv = np.unique(gkey, return_inverse=True)
+    gsum = np.zeros(len(uniq), dtype=np.float32)
+    np.add.at(gsum, inv, wt_o[match])
+    gfirstpos = np.full(len(uniq), N, dtype=np.int64)
+    np.minimum.at(gfirstpos, inv, m_pos)
+    grow = uniq // P
+    gpgf = uniq % P
+    g_order = np.lexsort((gfirstpos, grow))
+    gs, gr, gp = gsum[g_order], grow[g_order], gpgf[g_order]
+    G = len(gs)
+    gmax = np.zeros(S, dtype=np.float32)
+    np.maximum.at(gmax, gr, gs)
+    gcand = np.where(gs == gmax[gr], np.arange(G, dtype=np.int64), G)
+    gfirst = np.full(S, G, dtype=np.int64)
+    np.minimum.at(gfirst, gr, gcand)
+
+    out: list[BestMatch] = []
+    for s, b in enumerate(bests):
+        m = BestMatch(function=bestfn[s], score=b.score,
+                      weighted_score=b.weighted_score)
+        if lfirst[s] < N and lmax[s] > np.float32(0.0):
+            k = int(lfirst[s])
+            m.lfam_id = plf_names[int(fam_o[k])]
+            m.lfam_score = float(wt_o[k])
+        if gfirst[s] < G and gmax[s] > np.float32(0.0):
+            m.gfam_id = pgf_names[int(gp[int(gfirst[s])])]
+            m.gfam_score = float(gmax[s])
+        out.append(m)
+
+    if scalar_rows:
+        row_off = np.zeros(S + 1, dtype=np.int64)
+        np.cumsum(n_per, out=row_off[1:])
+        fam_n = np.asarray(fam)[:N]
+        cnt_n = np.asarray(cnt)[:N]
+        wt_n = np.asarray(wt)[:N]
+        first_n = np.asarray(first)[:N]
+        for s in scalar_rows:
+            a, bnd = int(row_off[s]), int(row_off[s + 1])
+            sub = np.argsort(first_n[a:bnd], kind="stable")
+            seq_score = {
+                int(fam_n[a + i]): SeqScore(int(cnt_n[a + i]),
+                                            int(cnt_n[a + i]),
+                                            np.float32(wt_n[a + i]))
+                for i in sub}
+            out[s] = find_best_family_match(
+                bests[s], seq_score, mapping, kmer_hit_threshold,
+                allow_ambiguous, target_genus_id, genus_filter)
+    return out
+
+
 def format_best_match_lookup(seq_id: str, m: BestMatch) -> str:
     """/lookup best-match TSV row (lookup_request.cc:326)."""
     return (f"{seq_id}\t{m.gfam_id}\t{O.fmt_float(m.gfam_score)}\t{m.lfam_id}\t"

@@ -58,6 +58,32 @@ class KmerFamilyMapping:
         self._kmer_to_pegs: dict[int, list[int]] = {}
         self._fam_csr = None
         self._peg_csr = None
+        self._meta_arrays = None
+
+    def family_meta_arrays(self):
+        """Interned per-family metadata for the vectorized best-match scan
+        (core.family.find_best_family_matches_batch): int32 arrays
+        (func_id, pgf_id, genus_id) over family ids, the pgf/plf name
+        lists those ids index, and the function-string intern dict.
+        Cached; len(self.families) growth invalidates."""
+        F = len(self.families)
+        if self._meta_arrays is not None and self._meta_arrays[0] == F:
+            return self._meta_arrays[1]
+        func_intern: dict[str, int] = {}
+        pgf_intern: dict[str, int] = {}
+        func_id = np.empty(F, dtype=np.int32)
+        pgf_id = np.empty(F, dtype=np.int32)
+        genus_id = np.empty(F, dtype=np.int32)
+        plf_names = []
+        for i, fd in enumerate(self.families):
+            func_id[i] = func_intern.setdefault(fd.function, len(func_intern))
+            pgf_id[i] = pgf_intern.setdefault(fd.pgf, len(pgf_intern))
+            genus_id[i] = fd.genus_id
+            plf_names.append(fd.plf)
+        pgf_names = list(pgf_intern)
+        out = (func_id, pgf_id, genus_id, pgf_names, plf_names, func_intern)
+        self._meta_arrays = (F, out)
+        return out
 
     # -- id interning -------------------------------------------------------
 

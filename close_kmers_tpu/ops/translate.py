@@ -180,6 +180,102 @@ def six_frame_kguts_offsets(seq: str | bytes) -> list[tuple[str, int, np.ndarray
             + [("-", off, _frame_offsets(dc, off)) for off in range(3)])
 
 
+_T11_OFF5 = _codon5_offsets(TABLE_11)
+_T11_STOP5 = np.zeros(125, dtype=bool)
+for _d0 in range(4):
+    for _d1 in range(4):
+        for _d2 in range(4):
+            _T11_STOP5[_d0 * 25 + _d1 * 5 + _d2] = \
+                TABLE_11[_d0 * 16 + _d1 * 4 + _d2] == ord("*")
+
+
+def _row_tokens(stops: list, n_aa: int):
+    """Token (start, end) spans of re.split('\\*+') given a row's sorted
+    stop positions: interior stop runs compress; leading/trailing stops
+    produce empty edge tokens (dna_seq.cc:9-23, token_compress_on)."""
+    spans = []
+    tok_start = 0
+    prev = -2
+    for s in stops:
+        if s != prev + 1:          # run break: close the open token
+            spans.append((tok_start, s))
+        tok_start = s + 1
+        prev = s
+    spans.append((tok_start, n_aa))
+    return spans
+
+
+def batch_possible_protein_orfs(seqs: list, min_len: int = 10):
+    """Vectorized get_possible_proteins over a batch of DNA reads, in
+    digit space (no string round-trips — the per-read regex pipeline
+    costs ~17 us/read-frame, which dominates FASTQ serving).
+
+    Returns (orfs, read_frames):
+      orfs — list of uint8 aa-offset arrays, one per token with
+        len > min_len, in (read, frame, token) order — feed directly to
+        pad_batch;
+      read_frames — per read, the 6 (frame, [(tok_len, orf_idx)])
+        entries in reference frame order (1,2,3,-1,-2,-3;
+        fq_process_request.cc:298-317); orf_idx is -1 for short tokens.
+
+    Token lists match get_possible_proteins exactly (tested): interior
+    stop runs compress, leading/trailing stops give empty edge tokens.
+    """
+    R = len(seqs)
+    if R == 0:
+        return [], []
+    rows = [_DNA_CHAR[_to_bytes(s)] for s in seqs]
+    n = np.array([len(r) for r in rows], dtype=np.int64)
+    Lmax = max(int(n.max()), 3)
+    d = np.full((R, Lmax), 4, dtype=np.uint8)
+    for r, row in enumerate(rows):
+        d[r, :len(row)] = row
+    # reverse complement, vectorized over the ragged rows
+    j = np.arange(Lmax, dtype=np.int64)[None, :]
+    src = n[:, None] - 1 - j
+    rc = np.where(src >= 0,
+                  _DIGIT_COMP[d[np.arange(R)[:, None],
+                                np.clip(src, 0, Lmax - 1)]],
+                  np.uint8(4))
+
+    frames = []  # (frame, off_mat [R, W], per-row stop lists, n_aa [R])
+    for sign, mat in ((1, d), (-1, rc)):
+        for off in range(3):
+            W = (Lmax - off) // 3
+            if W <= 0:
+                W = 0
+            c = mat[:, off:off + 3 * W]
+            idx5 = (c[:, 0::3] * np.uint8(25) + c[:, 1::3] * np.uint8(5)
+                    + c[:, 2::3]) if W else np.zeros((R, 0), np.uint8)
+            # one global nonzero per frame instead of one per row (pad
+            # digits are 4, so positions beyond a read's n_aa are never
+            # stops and need no clipping)
+            srows, scols = np.nonzero(_T11_STOP5[idx5])
+            row_ptr = np.searchsorted(srows, np.arange(R + 1))
+            scols = scols.tolist()
+            frames.append((sign * (off + 1), _T11_OFF5[idx5],
+                           (row_ptr, scols),
+                           np.maximum((n - off) // 3, 0)))
+
+    orfs: list[np.ndarray] = []
+    read_frames = []
+    for r in range(R):
+        per_read = []
+        for frame, off_mat, (row_ptr, scols), n_aa in frames:
+            toks = []
+            stops = scols[row_ptr[r]:row_ptr[r + 1]]
+            for a, b in _row_tokens(stops, int(n_aa[r])):
+                ln = b - a
+                if ln > min_len:
+                    toks.append((ln, len(orfs)))
+                    orfs.append(off_mat[r, a:b])
+                else:
+                    toks.append((ln, -1))
+            per_read.append((frame, toks))
+        read_frames.append(per_read)
+    return orfs, read_frames
+
+
 def get_possible_proteins(seq: str | bytes) -> list[tuple[int, list[str]]]:
     """DNASequence::get_possible_proteins parity (dna_seq.cc:9-23): frames
     1,2,3,-1,-2,-3 translated with table 11, each split on runs of '*'

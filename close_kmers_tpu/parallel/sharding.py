@@ -433,7 +433,13 @@ class ShardedEngine:
                         for k in range(a, b)])
         return out
 
-    def probe_compact(self, offsets: np.ndarray, lengths: np.ndarray):
+    def probe_compact(self, offsets: np.ndarray, lengths: np.ndarray,
+                      hits_per_seq_cap: int = 64, want_code: bool = True,
+                      want_oi: bool = True, want_avg: bool = True):
+        """Same contract as FastAnnotator.probe_compact.  The plane flags
+        exist for interface parity — the sharded step downloads full
+        grids regardless (its wire is ICI/PCIe, not the dev relay), so
+        they only shape the returned dict (zeros / omitted "code")."""
         B = offsets.shape[0]
         Bp = self.pad_to_data_axis(B)
         if Bp != B:
@@ -445,11 +451,16 @@ class ShardedEngine:
         rows, cols = np.nonzero(found)
         row_off = np.zeros(B + 1, dtype=np.int64)
         np.cumsum(np.bincount(rows, minlength=B), out=row_off[1:])
-        code = (np.asarray(hi)[:B][rows, cols].astype(np.int64) * LO_CARD
-                + np.asarray(lo)[:B][rows, cols].astype(np.int64))
-        return dict(pos=cols.astype(np.int32),
-                    fi=np.asarray(fi)[:B][rows, cols],
-                    oi=np.asarray(oi)[:B][rows, cols],
-                    avg_off=np.asarray(av)[:B][rows, cols],
-                    wt=np.asarray(wt)[:B][rows, cols],
-                    code=code, row_off=row_off)
+        zeros = np.zeros(len(rows), dtype=np.int32)
+        h = dict(pos=cols.astype(np.int32),
+                 fi=np.asarray(fi)[:B][rows, cols],
+                 oi=np.asarray(oi)[:B][rows, cols] if want_oi else zeros,
+                 avg_off=(np.asarray(av)[:B][rows, cols] if want_avg
+                          else zeros),
+                 wt=np.asarray(wt)[:B][rows, cols],
+                 row_off=row_off)
+        if want_code:
+            h["code"] = (np.asarray(hi)[:B][rows, cols].astype(np.int64)
+                         * LO_CARD
+                         + np.asarray(lo)[:B][rows, cols].astype(np.int64))
+        return h

@@ -35,7 +35,7 @@ from ..core import oracle as O, family as F
 from ..core.api import KmerEngine
 from ..db.family_db import KmerFamilyMapping, FamilyReps
 from ..io.fasta import FastaParser, FastqParser
-from ..ops.translate import get_possible_proteins
+from ..ops.translate import batch_possible_protein_orfs
 
 REQUEST_RE = re.compile(r"^([A-Z]+) ([^?#]*)(\?([^#]*))?(#(.*))? HTTP/(\d+\.\d+)")
 MAPPING_PATH_RE = re.compile(r"^/mapping/([^/]+)(/(add|matrix|lookup))$")
@@ -90,6 +90,15 @@ class ServerContext:
             self._compute,
             lambda: self.engine.annotate_family(items, mapping, params,
                                                 **kw))
+
+    async def best_family_matches(self, items, mapping, params, **kw):
+        """Run engine.best_family_matches (fused device pass + vectorized
+        best-match scan) on the compute thread."""
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(
+            self._compute,
+            lambda: self.engine.best_family_matches(items, mapping, params,
+                                                    **kw))
 
     def checkpoint(self) -> str:
         """Persist the mutable server state (the mapping universes) to a
@@ -426,32 +435,32 @@ async def _process_reads(ctx, reads, params, req) -> str:
     eng = ctx.engine
     mapping = ctx.mapping_map.get("", None)
     kmer_hit_threshold = req.int_param("kmer_hit_threhsold", 3)
-    # Gather all ORFs > 10 aa across reads/frames into one batch.
+    # Gather all ORFs > 10 aa across reads/frames into one batch
+    # (vectorized digit-space split — the per-read regex pipeline was
+    # the dominant host cost of this endpoint).
+    kept = [(ri, rid, seq) for ri, (rid, seq) in enumerate(reads) if rid]
+    orf_arrays, per_read = batch_possible_protein_orfs(
+        [seq for _, _, seq in kept])
     orf_items = []
     read_frames = []  # (read_idx, frame, [orf indices], [orf lens])
-    for ri, (rid, seq) in enumerate(reads):
-        if not rid:
-            continue
-        for frame, prots in get_possible_proteins(seq):
+    for (ri, rid, _seq), frames6 in zip(kept, per_read):
+        for frame, toks in frames6:
             idxs, lens = [], []
-            for prot in prots:
-                if len(prot) > 10:
-                    idxs.append(len(orf_items))
-                    lens.append(len(prot))
-                    orf_items.append((rid, prot))
+            for ln, oi in toks:
+                if oi >= 0:
+                    # oi is already in (read, frame, token) order, i.e.
+                    # exactly len(orf_items)
+                    idxs.append(oi)
+                    orf_items.append((rid, orf_arrays[oi]))
                 else:
                     idxs.append(-1)
-                    lens.append(len(prot))
+                lens.append(ln)
             read_frames.append((ri, frame, idxs, lens))
     if not orf_items:
         return ""
-    results, seq_scores = await ctx.annotate_family(
-        orf_items, mapping, params, want_best=True)
-    matches = []
-    for i, r in enumerate(results):
-        matches.append(F.find_best_family_match(
-            r.best, seq_scores[i], mapping, kmer_hit_threshold,
-            genus_filter=False))
+    matches = await ctx.best_family_matches(
+        orf_items, mapping, params,
+        kmer_hit_threshold=kmer_hit_threshold, genus_filter=False)
 
     # best-frame selection with the running-score copy quirk
     # (fq_process_request.cc:318-348)

@@ -189,3 +189,67 @@ def test_family_reps(tmp_path):
     r = fr.reps["PLF_171_00000001"][0]
     assert (r.feature_id, r.contig, r.start, r.end, r.strand, r.contig_length) == \
         ("fig|1.2.peg.3", "contig7", 100, 400, "+", 5000)
+
+
+def test_batch_best_match_parity():
+    """find_best_family_matches_batch must equal the scalar scan exactly
+    across random rollups, thresholds, genus filters, and ambiguity."""
+    from close_kmers_tpu.db.family_db import FamilyData
+
+    rng = np.random.default_rng(99)
+    for trial in range(40):
+        n_funcs = int(rng.integers(1, 8))
+        F_n = int(rng.integers(1, 30))
+        mapping = KmerFamilyMapping()
+        mapping.families = [
+            FamilyData(f"PGF_{rng.integers(0, 6):05d}", f"PLF_{f:05d}",
+                       int(rng.integers(0, 3)), f"fn{rng.integers(0, n_funcs)}",
+                       f, 5, 5)
+            for f in range(F_n)]
+        S = int(rng.integers(1, 12))
+        n_per = rng.integers(0, min(8, F_n + 3), size=S)
+        N = int(n_per.sum())
+        # family ids unique within a row (the device rollup groups by
+        # family), possibly out of range like real miss rows
+        fam = np.concatenate([
+            rng.choice(np.arange(-1, F_n + 2), size=n, replace=False)
+            for n in n_per]).astype(np.int32) if N else np.zeros(0, np.int32)
+        cnt = rng.integers(1, 7, size=N).astype(np.int32)
+        # duplicated weights force f32 tie/order effects
+        wt = rng.choice(np.float32([0.0, 0.25, 0.5, 0.5, 1.5]), size=N)
+        first = rng.permutation(N).astype(np.int32)
+        allow_ambig = bool(rng.integers(0, 2))
+        genus_filter = bool(rng.integers(0, 2))
+        thr = int(rng.integers(1, 4))
+        tg = int(rng.integers(0, 3))
+        bests = []
+        for s in range(S):
+            r = rng.random()
+            if r < 0.25:
+                fn = ""
+            elif r < 0.45:
+                fn = f"fn{rng.integers(0, n_funcs)} ?? fn{rng.integers(0, n_funcs)}"
+            else:
+                fn = f"fn{rng.integers(0, n_funcs + 2)}"  # sometimes unknown
+            bests.append(O.BestCall(0, fn, float(rng.integers(0, 9)),
+                                    float(rng.random()), 5.0))
+        got = F.find_best_family_matches_batch(
+            bests, n_per, fam, cnt, wt, first, mapping, thr, allow_ambig,
+            tg, genus_filter)
+        row_off = np.zeros(S + 1, dtype=np.int64)
+        np.cumsum(n_per, out=row_off[1:])
+        for s in range(S):
+            a, b = int(row_off[s]), int(row_off[s + 1])
+            sub = np.argsort(first[a:b], kind="stable")
+            seq_score = {int(fam[a + i]): F.SeqScore(int(cnt[a + i]),
+                                                     int(cnt[a + i]),
+                                                     np.float32(wt[a + i]))
+                         for i in sub}
+            want = F.find_best_family_match(bests[s], seq_score, mapping,
+                                            thr, allow_ambig, tg,
+                                            genus_filter)
+            g = got[s]
+            assert (g.gfam_id, g.lfam_id, g.function) == \
+                (want.gfam_id, want.lfam_id, want.function), (trial, s)
+            assert g.gfam_score == want.gfam_score, (trial, s)
+            assert g.lfam_score == want.lfam_score, (trial, s)

@@ -97,3 +97,30 @@ def test_six_frame_offsets_digit_space_parity():
         for (s1, o1, a), (s2, o2, b) in zip(want, got):
             assert (s1, o1) == (s2, o2)
             assert np.array_equal(a, b), (trial, s1, o1)
+
+
+def test_batch_possible_protein_orfs_parity():
+    # Must match get_possible_proteins token-for-token (lengths, order,
+    # empty edge tokens) and byte-match the >10aa token offsets.
+    from close_kmers_tpu.ops.encoder import seq_to_offsets
+    rng = np.random.default_rng(11)
+    alphabet = list("acgtACGT") * 4 + list("nNrRyY.x")
+    reads = []
+    for i in range(30):
+        ln = int(rng.integers(0, 200))
+        reads.append("".join(rng.choice(alphabet, size=ln)))
+    # hand-made edge cases: all stops, leading/trailing stops, empty
+    reads += ["TAATAATAA", "TAAATGAAATAA", "", "AC", "ATGAAA"]
+    orfs, read_frames = T.batch_possible_protein_orfs(reads)
+    for r, seq in enumerate(reads):
+        want = T.get_possible_proteins(seq)
+        got = read_frames[r]
+        assert [f for f, _ in got] == [f for f, _ in want], r
+        for (gf, toks), (wf, prots) in zip(got, want):
+            assert [ln for ln, _ in toks] == [len(p) for p in prots], (r, gf)
+            for (ln, oi), p in zip(toks, prots):
+                if oi >= 0:
+                    assert np.array_equal(orfs[oi], seq_to_offsets(p)), \
+                        (r, gf, p)
+                else:
+                    assert ln <= 10
