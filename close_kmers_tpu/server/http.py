@@ -267,6 +267,18 @@ async def handle_lookup(ctx, req, body, writer, mapping):
     async for items in _fasta_batches(ctx, body):
         out = []
         ctx.metrics.inc("proteins", len(items))
+        if family_mode and find_best_match:
+            # fused device pass + vectorized best-match scan (no
+            # per-protein dict/Call materialization)
+            matches = await ctx.best_family_matches(
+                items, mapping, params,
+                kmer_hit_threshold=kmer_hit_threshold,
+                allow_ambiguous=bool(allow_ambig),
+                target_genus_id=target_genus_id, genus_filter=True)
+            for (sid, _seq), m in zip(items, matches):
+                out.append(F.format_best_match_lookup(sid, m))
+            await _write(writer, "".join(out))
+            continue
         if family_mode:
             results, seq_scores = await ctx.annotate_family(
                 items, mapping, params,
