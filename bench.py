@@ -200,41 +200,43 @@ def bench_cpu(db, offsets, lengths):
 
 
 def bench_family(db, offsets, lengths, rng):
-    """Config-2 secondary measurement: fused probe + on-device family
-    rollup (proteins/s reported to stderr; primary metric unchanged)."""
-    from close_kmers_tpu.core.device_family import DeviceFamilyScorer
-    from close_kmers_tpu.db.family_db import KmerFamilyMapping
+    """Config-2 secondary measurement: the full /lookup?find_best_match=1
+    serving path — fused device calls+rollup, global packs, vectorized
+    best-match scan (proteins/s reported to stderr; primary metric
+    unchanged)."""
+    from close_kmers_tpu.core.api import KmerEngine
+    from close_kmers_tpu.db.family_db import FamilyData, KmerFamilyMapping
+    from close_kmers_tpu.db.signature_db import SignatureDB
 
-    n = len(db)
+    n_funcs = int(db.fi.max()) + 1
+    dbf = SignatureDB(db.keys, db.fi, db.oi, db.avg_off, db.wt,
+                      functions=[f"fn{i}" for i in range(n_funcs)])
+    n = len(dbf)
     deg = rng.integers(1, 4, size=n)
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(deg, out=offs[1:])
-    vals = np.repeat(db.fi * 3, deg) + (np.arange(offs[-1]) % 3).astype(np.int32)
+    vals = np.repeat(dbf.fi * 3, deg) + (np.arange(offs[-1]) % 3).astype(np.int32)
     mapping = KmerFamilyMapping()
-    mapping._fam_csr = (db.keys, offs, vals.astype(np.int32))
+    mapping._fam_csr = (dbf.keys, offs, vals.astype(np.int32))
+    mapping.families = [
+        FamilyData(f"PGF_{f:08d}", f"PLF_{f % 5}_{f:08d}", f % 5,
+                   f"fn{f // 3}", f, 10, 10) for f in range(3 * n_funcs)]
 
+    eng = KmerEngine(dbf)
+    items = [(f"p{i}", offsets[i, :int(lengths[i])])
+             for i in range(min(N_QUERY, 4 * BATCH))]
     t0 = time.time()
-    dfs = DeviceFamilyScorer(db, mapping)
-    log(f"family DB densified+uploaded in {time.time()-t0:.1f}s (D={dfs.fdb.d})")
-    t0 = time.time()
-    dfs.rollup(offsets[:BATCH], lengths[:BATCH])
+    eng.best_family_matches(items[:BATCH], mapping)
     log(f"family warmup+compile {time.time()-t0:.1f}s")
-    t0 = time.time()
-    n_done = 0
-    pending = []  # pipelined: dispatch all, read at the end
-    for a in range(0, min(N_QUERY, 4 * BATCH), BATCH):
-        b = a + BATCH
-        if b > N_QUERY:
-            break
-        out, capf = dfs.rollup_packed(offsets[a:b], lengths[a:b])
-        pending.append((out, b - a, capf))
-        n_done += BATCH
-    for out, bsz, capf in pending:
-        assert dfs.finish_rollup(np.asarray(out), bsz, capf) is not None
-    dt = time.time() - t0
-    if n_done:
-        log(f"family path: {n_done} proteins in {dt:.2f}s "
-            f"({n_done/dt:.0f} proteins/s)")
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        ms = eng.best_family_matches(items, mapping)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    n_called = sum(1 for m in ms if m.gfam_id)
+    log(f"family best-match path: {len(items)} proteins in {best:.2f}s "
+        f"({len(items)/best:.0f} proteins/s, {n_called} placed)")
 
 
 def main():
