@@ -38,6 +38,25 @@ def discover_data_dir(data_dir: str) -> dict:
     return found
 
 
+def _enable_compile_cache(data_dir: str) -> None:
+    """Persistent XLA compile cache: first-compile of the serving
+    programs takes minutes through a remote-compile tunnel, and a server
+    restart should not pay it again.  Default location is
+    <data-dir>/.jax_cache; override with CLOSE_KMERS_JAX_CACHE (empty
+    string disables)."""
+    import jax
+    cache = os.environ.get("CLOSE_KMERS_JAX_CACHE",
+                           os.path.join(data_dir, ".jax_cache"))
+    if not cache:
+        return
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        print(f"compile cache unavailable: {e}", file=sys.stderr)
+
+
 def load_server_context(data_dir: str, args=None, batch_size: int = 2048,
                         n_shards: int = 0, overrides: dict | None = None):
     from ..core.api import KmerEngine
@@ -45,6 +64,7 @@ def load_server_context(data_dir: str, args=None, batch_size: int = 2048,
     from ..db.family_db import FamilyReps
     from ..server.http import ServerContext
 
+    _enable_compile_cache(data_dir)
     t0 = time.time()
     db = SignatureDB.load_dir(data_dir)
     print(f"loaded signature DB: {len(db):,} kmers in {time.time()-t0:.1f}s",

@@ -3,6 +3,7 @@ the kser server, and speak the pidgin-HTTP protocol over a real socket."""
 
 import asyncio
 import gzip
+import os
 import socket
 import threading
 
@@ -358,3 +359,28 @@ def test_matrix_differential_vs_naive(server, data_dir):
                     key = (sid, mapping.decode_peg(other))
                     want[key] = want.get(key, 0) + 1
     assert got == want and len(got) > 3
+
+
+def test_checkpoint_and_restore(server, data_dir, tmp_path):
+    """/checkpoint persists mapping universes; a fresh context with
+    --restore sees the ingested state (krequest2.cc:361-408 analogue)."""
+    from close_kmers_tpu.cli.kser import load_server_context
+
+    port, prots, fam_spec, funcs = server
+    peg, *_ = fam_spec[0]
+    body = f">ckpt|1\n{prots[peg]}\n".encode()
+    resp = post(port, "/mapping/ckpt_u/add?silent=1", body)
+    assert "200 OK" in resp
+    resp = http(port, b"GET /checkpoint HTTP/1.1\n\n").decode()
+    assert "200 OK" in resp and "OK" in resp
+    path = f"./checkpoint.{os.getpid()}"
+    assert os.path.exists(path)
+
+    d, *_ = data_dir
+    ctx2 = load_server_context(str(d), batch_size=64)
+    assert "ckpt_u" not in ctx2.mapping_map
+    ctx2.restore(path)
+    os.remove(path)
+    m = ctx2.mapping_map["ckpt_u"]
+    assert "ckpt|1" in m.peg_to_id
+    assert len(m._kmer_to_pegs) > 0
