@@ -18,7 +18,6 @@ Stages: encode probe scan compact best family
 
 from __future__ import annotations
 
-import functools
 import os
 import sys
 import time

@@ -52,7 +52,6 @@ def synth_reads(rng, src_off: np.ndarray, n_reads: int, read_len: int):
 def main():
     import jax
     from close_kmers_tpu.core.api import KmerEngine
-    from close_kmers_tpu.core import family as F
     from close_kmers_tpu.db.family_db import KmerFamilyMapping
     from close_kmers_tpu.ops.translate import batch_possible_protein_orfs
     from close_kmers_tpu.params import EngineParams

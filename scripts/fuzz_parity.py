@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def one_round(seed: int) -> int:
     from close_kmers_tpu.core import oracle as O
     from close_kmers_tpu.core.device_score import DeviceScorer
-    from close_kmers_tpu.core.engine import (DeviceDB, FastAnnotator,
+    from close_kmers_tpu.core.engine import (FastAnnotator,
                                              TpuEngine, finish_best_call)
     from close_kmers_tpu.db.signature_db import SignatureDB
     from close_kmers_tpu.native import api as native
