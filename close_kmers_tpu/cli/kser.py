@@ -57,6 +57,30 @@ def _enable_compile_cache(data_dir: str) -> None:
         print(f"compile cache unavailable: {e}", file=sys.stderr)
 
 
+def warmup_context(ctx) -> None:
+    """Compile-and-stage the primary serving programs BEFORE the listener
+    opens, so the first client request doesn't pay them (through a
+    remote-compile tunnel this is minutes per program; on a local TPU
+    host, seconds).  Covers the /query path (with and without details),
+    the family best-match path, and the fq ORF-chunk shape."""
+    import numpy as np
+    t0 = time.time()
+    rng = np.random.default_rng(0)
+    prot = "".join("ACDEFGHIKLMNPQRSTVWY"[i] for i in
+                   rng.integers(0, 20, size=300))
+    items = [("w", prot)]
+    ctx.engine.annotate(items, want_otu=True, want_code=False)
+    ctx.engine.annotate(items, want_hits=True, want_otu=True)
+    if ctx.family_mode:
+        root = ctx.mapping_map.get("")
+        try:
+            ctx.engine.best_family_matches(items, root)
+        except Exception as e:
+            print(f"family warmup skipped: {e}", file=sys.stderr)
+    print(f"serving programs warmed in {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+
 def load_server_context(data_dir: str, args=None, batch_size: int = 2048,
                         n_shards: int = 0, overrides: dict | None = None):
     from ..core.api import KmerEngine
@@ -172,6 +196,8 @@ def main(argv=None):
                     help="alias for the data-dir positional (kser.cc:62)")
     ap.add_argument("--listen-port-file", default=None)
     ap.add_argument("--no-listen", action="store_true")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip pre-listen compilation of serving programs")
     ap.add_argument("--reps-file", default=None)
     ap.add_argument("--reps-dir", default=None)
     ap.add_argument("--family-reps", default=None,
@@ -253,6 +279,8 @@ def main(argv=None):
         print(f"restored mapping state from {args.restore}", file=sys.stderr)
     if args.no_listen:
         return 0
+    if not args.no_warmup:
+        warmup_context(ctx)
 
     from ..server.http import serve
     if args.jax_profile_dir:

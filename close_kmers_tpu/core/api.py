@@ -60,13 +60,14 @@ class KmerEngine:
     def annotate(self, items: list[tuple[str, str]],
                  params: EngineParams | None = None,
                  want_hits: bool = False, want_otu: bool = False,
-                 want_best: bool = False) -> list[AnnotationResult]:
+                 want_best: bool = False,
+                 want_code: bool = True) -> list[AnnotationResult]:
         """process_aa_seq for a batch: device probe, native scoring.
         ``hits`` are oracle.Hit lists (populated only if want_hits);
         ``otu`` are finalized OtuStats (only if want_otu);
         ``best`` are BestCall (only if want_best)."""
         return self.annotate_with_hits(items, params, want_hits, want_otu,
-                                       want_best)[0]
+                                       want_best, want_code)[0]
 
     def annotate_with_hits(self, items, params=None, want_hits=False,
                            want_otu=False, want_best=False, want_code=True):
@@ -81,7 +82,12 @@ class KmerEngine:
         seqs = [s for _, s in items]
         if not items:
             return [], dict(row_off=np.zeros(1, np.int64))
-        offsets, lengths = self.fa.pad_batch(seqs)
+        # Bucket B to a power of two (pad with empty sequences): serving
+        # batches end with arbitrary-size tails, and every distinct B is
+        # a fresh compile — minutes each through a remote-compile tunnel.
+        B0 = len(seqs)
+        Bp = max(16, 1 << (B0 - 1).bit_length())
+        offsets, lengths = self.fa.pad_batch(seqs + [""] * (Bp - B0))
         # plane gating (see FastAnnotator.probe_compact): kmer codes feed
         # HIT lines and kmer->peg/family accumulation; avg_off feeds HIT
         # lines and the order_constraint drift test; oi feeds OTU voting.
@@ -90,6 +96,9 @@ class KmerEngine:
             want_code=want_hits or want_code,
             want_oi=want_hits or want_otu,
             want_avg=want_hits or bool(params.order_constraint))
+        if Bp != B0:
+            # pad rows contribute no hits; trim the row delimiters
+            h["row_off"] = h["row_off"][:B0 + 1]
         n_calls, cs, ce, cc, cf, cw, votes = native.score_batch(
             h["pos"], h["fi"], h["oi"], h["avg_off"], h["wt"], h["row_off"],
             params, max_calls_per_seq=max(64, offsets.shape[1] // 4),
