@@ -281,7 +281,10 @@ class KmerEngine:
         # later dispatches overlap earlier readbacks.  Global packs for
         # both calls and family groups keep D2H proportional to actual
         # output, not B * per-row caps (the tiny-ORF fq regime is
-        # output-sparse).  Caps escalate x4 on overflow and stick.
+        # output-sparse).  Sticky caps are PER-SEQUENCE so a cap learned
+        # on a small chunk scales with the next chunk's B instead of
+        # forcing an escalation ladder of fresh compiles; on overflow we
+        # jump straight to what the failed readback says is needed.
         B0 = len(items)
         CH = self.FAMILY_MATCH_CHUNK
         B = CH if B0 > CH else max(256, 1 << (B0 - 1).bit_length())
@@ -294,7 +297,7 @@ class KmerEngine:
                 chunk = chunk + [""] * (B - n)
             offsets, lengths = self.fa.pad_batch(chunk)
             ccap = getattr(dfs, "_bm_ccap", 1)
-            gcap = getattr(dfs, "_bm_gcap", 2 * B)
+            gcap = getattr(dfs, "_bm_gps", 2) * B
             calls_dev, call_cap, rows_dev, _ = dfs.score_family_packed(
                 offsets, lengths, params, ccap, -gcap)
             pending.append((offsets, lengths, n, calls_dev, call_cap,
@@ -305,21 +308,24 @@ class KmerEngine:
         for offsets, lengths, n, calls_dev, call_cap, rows_dev, gcap \
                 in pending:
             while True:
-                dense = DeviceScorer.unpack_dense(
-                    np.asarray(calls_dev), B, call_cap)
+                calls_np = np.asarray(calls_dev)
+                rows_np = np.asarray(rows_dev)
+                dense = DeviceScorer.unpack_dense(calls_np, B, call_cap)
                 roll = DeviceFamilyScorer.finish_rollup_global(
-                    np.asarray(rows_dev), B, gcap)
+                    rows_np, B, gcap)
                 if dense is not None and roll is not None:
                     break
                 if dense is None:
-                    dfs._bm_ccap = call_cap // B * 4
+                    need = -(-int(calls_np[:B].sum()) // B)
+                    dfs._bm_ccap = max(call_cap // B * 4, need)
                 if roll is None:
-                    dfs._bm_gcap = gcap * 4
+                    need = -(-int(rows_np[:B].sum()) // B)
+                    dfs._bm_gps = max(gcap // B * 4, need)
                 calls_dev, call_cap, rows_dev, _ = dfs.score_family_packed(
                     offsets, lengths, params,
                     getattr(dfs, "_bm_ccap", 1),
-                    -getattr(dfs, "_bm_gcap", 2 * B))
-                gcap = getattr(dfs, "_bm_gcap", 2 * B)
+                    -getattr(dfs, "_bm_gps", 2) * B)
+                gcap = getattr(dfs, "_bm_gps", 2) * B
             n_calls, cs, ce, cc, cf, cw = dense
             nf, ofi, ocnt, owt = native.best_call_batch(n_calls, cs, ce,
                                                         cc, cf, cw)

@@ -329,9 +329,12 @@ class DeviceFamilyScorer:
         batch's total group count overflows gcap."""
         n_per_seq = flat_np[:B]
         total = int(n_per_seq.sum())
-        if total > gcap:
+        # Size from the buffer, not `gcap`: the device packs
+        # min(gcap, B*(W*D+1)) entries (argsort slice clamps), so an
+        # over-escalated gcap must not turn into a reshape ValueError.
+        pack = flat_np[B:].reshape(4, -1)
+        if total > pack.shape[1]:
             return None
-        pack = flat_np[B:].reshape(4, gcap)
         t = slice(0, total)
         return (n_per_seq, pack[0, t], pack[1, t],
                 pack[2, t].copy().view(np.float32), pack[3, t])

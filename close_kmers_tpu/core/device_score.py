@@ -501,9 +501,12 @@ class DeviceScorer:
         Returns None if the cap overflowed (caller retries bigger)."""
         n_calls = out[:B]
         total = int(n_calls.sum())
-        if total > cap:
+        # The device pack holds min(cap, theoretical max) entries (the
+        # argsort slice clamps), so size from the buffer, not `cap`: an
+        # over-escalated cap must degrade gracefully, not ValueError.
+        pack = out[B:].reshape(5, -1)
+        if total > pack.shape[1]:
             return None
-        pack = out[B:].reshape(5, cap)
         maxc = max(1, int(n_calls.max()) if B else 1)
         rows = np.repeat(np.arange(B), n_calls)
         row_off = np.zeros(B + 1, dtype=np.int64)

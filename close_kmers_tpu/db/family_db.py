@@ -59,15 +59,20 @@ class KmerFamilyMapping:
         self._fam_csr = None
         self._peg_csr = None
         self._meta_arrays = None
+        # Bumped by any mutation of `families` (load_families); keys the
+        # family_meta_arrays cache so in-place metadata edits or a
+        # same-length reload can't serve stale interned arrays.
+        self._families_gen = 0
 
     def family_meta_arrays(self):
         """Interned per-family metadata for the vectorized best-match scan
         (core.family.find_best_family_matches_batch): int32 arrays
         (func_id, pgf_id, genus_id) over family ids, the pgf/plf name
         lists those ids index, and the function-string intern dict.
-        Cached; len(self.families) growth invalidates."""
+        Cached; invalidated by the families generation counter."""
         F = len(self.families)
-        if self._meta_arrays is not None and self._meta_arrays[0] == F:
+        gen = (self._families_gen, F)
+        if self._meta_arrays is not None and self._meta_arrays[0] == gen:
             return self._meta_arrays[1]
         func_intern: dict[str, int] = {}
         pgf_intern: dict[str, int] = {}
@@ -82,7 +87,7 @@ class KmerFamilyMapping:
             plf_names.append(fd.plf)
         pgf_names = list(pgf_intern)
         out = (func_id, pgf_id, genus_id, pgf_names, plf_names, func_intern)
-        self._meta_arrays = (F, out)
+        self._meta_arrays = (gen, out)
         return out
 
     # -- id interning -------------------------------------------------------
@@ -119,6 +124,7 @@ class KmerFamilyMapping:
         itself with genus_id 0 (kmer.cc:423-444).
         """
         warned: set[str] = set()
+        self._families_gen += 1
         with open(path) as f:
             for line in f:
                 cols = line.rstrip("\n").split("\t")

@@ -67,12 +67,26 @@ def run_validation(engine, validation_folder: str,
     totals = dict(count=0, correct=0, incorrect=0, missing=0)
     for f in sorted(os.listdir(seq_dir)):
         path = os.path.join(seq_dir, f)
-        items = [(i, s) for i, _d, s in parse_fasta_file(path) if i]
-        bests = _batched_best_calls(engine, items, params)
+        # Keep empty-id records: recall_sequence returns an empty optional
+        # for them (build_signature_kmers.cc:914-915) and validate_fasta
+        # then counts them — as `missing` when the truth map knows the id
+        # (:1012-1019).  validate_fasta also calls parse_complete() a
+        # second time after parse() (:1023-1024), firing one phantom
+        # ("", "") record per file that inflates `count` by 1.
+        items = [(i, s) for i, _d, s in parse_fasta_file(path)]
+        items.append(("", ""))
+        called = [(j, it) for j, it in enumerate(items) if it[0]]
+        bests = _batched_best_calls(engine, [it for _, it in called], params)
+        best_by_pos = {j: b for (j, _), b in zip(called, bests)}
         n_correct = n_incorrect = n_missing = count = 0
-        for (sid, _seq), best in zip(items, bests):
+        for j, (sid, _seq) in enumerate(items):
             correct_function = correct.lookup_function(sid)
             count += 1
+            if not sid:
+                if correct_function:
+                    n_missing += 1
+                continue
+            best = best_by_pos[j]
             if best.function == correct_function:
                 n_correct += 1
             else:

@@ -153,3 +153,61 @@ def test_write_data_dir_roundtrip(corpus, tmp_path):
     eng = KmerEngine(SignatureDB.load_dir(str(out)))
     res = eng.annotate([("q", protA)], want_best=True)
     assert res[0].best.function == "Function A"
+
+
+def test_validation_missing_counts_empty_id_records(corpus, tmp_path):
+    """Validation parity on degenerate inputs: an empty-id record is
+    counted, and counted as `missing` iff the truth map has an entry for
+    the empty id (recall_sequence returns an empty optional for empty
+    ids, build_signature_kmers.cc:914-915; the counting is :1005-1021).
+    validate_fasta also runs parse_complete() twice (:1023-1024), adding
+    one phantom empty record per file to `count`."""
+    import io
+
+    from close_kmers_tpu.core.api import KmerEngine
+    from close_kmers_tpu.db.recall import run_validation
+
+    files, protA, _protB, _protC = corpus
+    r = B.build_signature_kmers(files, min_reps_required=5)
+    out = tmp_path / "kmerdata"
+    r.write_data_dir(str(out))
+    eng = KmerEngine(SignatureDB.load_dir(str(out)))
+
+    vdir = tmp_path / "valid"
+    (vdir / "anno").mkdir(parents=True)
+    (vdir / "seq").mkdir()
+    # truth: one real id and one EMPTY id entry
+    (vdir / "anno" / "g0").write_text(
+        "fig|100.1.peg.1\tFunction A\n\tGhost function\n")
+    # seq: the real record plus an empty-id record carrying sequence data
+    (vdir / "seq" / "g0").write_text(f">fig|100.1.peg.1\n{protA}\n>\n{protA}\n")
+
+    buf = io.StringIO()
+    totals = run_validation(eng, str(vdir), out=buf)
+    # 3 = real record + empty-id record + phantom parse_complete record;
+    # missing=2 because the phantom record's empty id ALSO matches the
+    # empty-id truth entry (lookup_function("") is non-empty here).
+    assert totals == dict(count=3, correct=1, incorrect=0, missing=2)
+
+
+def test_validation_empty_id_without_truth_not_missing(corpus, tmp_path):
+    import io
+
+    from close_kmers_tpu.core.api import KmerEngine
+    from close_kmers_tpu.db.recall import run_validation
+
+    files, protA, _protB, _protC = corpus
+    r = B.build_signature_kmers(files, min_reps_required=5)
+    out = tmp_path / "kmerdata"
+    r.write_data_dir(str(out))
+    eng = KmerEngine(SignatureDB.load_dir(str(out)))
+
+    vdir = tmp_path / "valid"
+    (vdir / "anno").mkdir(parents=True)
+    (vdir / "seq").mkdir()
+    (vdir / "anno" / "g0").write_text("fig|100.1.peg.1\tFunction A\n")
+    (vdir / "seq" / "g0").write_text(f">fig|100.1.peg.1\n{protA}\n>\n{protA}\n")
+
+    buf = io.StringIO()
+    totals = run_validation(eng, str(vdir), out=buf)
+    assert totals == dict(count=3, correct=1, incorrect=0, missing=0)

@@ -119,7 +119,10 @@ def test_build_db_recall_and_validation(built, tmp_path):
     assert calls.startswith("fig|0.1.peg.1\tAmidase\t52\t")
     # recall agrees with training annotation -> New/ file is empty
     assert (recall / "New" / "g0.fa").read_text() == ""
-    assert "count=1 correct=1 incorrect=0 missing=0" in r.stdout.decode()
+    # count=2: validate_fasta calls parse_complete() a second time after
+    # parse() (build_signature_kmers.cc:1023-1024), so one phantom empty
+    # record per file is counted.
+    assert "count=2 correct=1 incorrect=0 missing=0" in r.stdout.decode()
 
 
 def test_kser_reference_cli_compat(tmp_path):

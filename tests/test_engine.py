@@ -148,7 +148,9 @@ def test_probe_flat_pad_parity(setup):
     db, seqs, eng = setup
     s = seqs[0][:40] if len(seqs[0]) >= 40 else (seqs[0] * 5)[:40]
     batch = [s] * 16                        # B*W = 16*(pad_L - 8)
-    h = eng.hits_of_batch(batch, pad_to=48)   # flat = 16*40 = 640 ≡ 0
+    # pad_to=48 rounds the row width to the next power of two (64), so
+    # flat = 16*(64-8) = 896 ≡ 0 (mod 16) — the pad path engages.
+    h = eng.hits_of_batch(batch, pad_to=48)
     for hl in h:
         assert [(x.pos, x.fI) for x in hl] == [(x.pos, x.fI) for x in h[0]]
 
