@@ -18,9 +18,10 @@ Parity with /root/reference/kmerge.cc:
   reweighted by exp(∓alpha) and renormalized (:494-607).  Each round
   prints ``error \\t alpha \\t kmers-sharing-the-pattern...``.
 
-KMC binary databases (.kmc_pre/.kmc_suf) are not supported in this build
-(the reference links the external KMC api); text kmer files cover the
-matrix/Adaboost functionality.
+KMC binary databases (.kmc_pre/.kmc_suf, kmerge.cc:106-118, :375-400)
+are read natively via io.kmc — a file whose name ends in .kmc_pre or
+.kmc_suf, or that has a sibling <name>.kmc_pre, is treated as a KMC1
+database (same sniffing as kmerge.cc:325-338).
 
 Row order is input order (the reference iterates an unordered_map, so
 its row order is unspecified).
@@ -52,14 +53,20 @@ class KmerSet:
             self.default_value.append(1 if invert else 0)
 
     def process_files(self, files: list[str], invert: bool) -> None:
+        from ..io.kmc import is_kmc_db
         for f in files:
             idx = self.files.index(f)
-            if f.endswith(".kmc_pre") or f.endswith(".kmc_suf"):
-                print("KMC binary databases are not supported; export to "
-                      "text with 'kmc_tools transform ... dump'",
-                      file=sys.stderr)
-                sys.exit(1)
-            self._process_text(f, idx, invert)
+            if is_kmc_db(f):
+                self._process_kmc(f, idx, invert)
+            else:
+                self._process_text(f, idx, invert)
+
+    def _process_kmc(self, path: str, idx: int, invert: bool) -> None:
+        """kmerge.cc:375-400: ReadNextKmer over a KMC database; counts
+        go through the same parse_value as text input."""
+        from ..io.kmc import read_kmc_db
+        for kmer, raw in read_kmc_db(path):
+            self._add(kmer, raw, idx, invert)
 
     def _process_text(self, path: str, idx: int, invert: bool) -> None:
         with open(path) as f:
@@ -69,19 +76,20 @@ class KmerSet:
                 if pos < 0:
                     print(f"Missing tab in {path} line {ln}", file=sys.stderr)
                     sys.exit(1)
-                kmer = line[:pos]
-                raw = int(line[pos + 1:])
-                if self.counts_mode:
-                    val = raw
-                else:
-                    val = 1 if raw else 0
-                    if invert:
-                        val = 1 - val
-                row = self.rows.get(kmer)
-                if row is None:
-                    row = np.array(self.default_value, dtype=np.int64)
-                    self.rows[kmer] = row
-                row[idx] = val
+                self._add(line[:pos], int(line[pos + 1:]), idx, invert)
+
+    def _add(self, kmer: str, raw: int, idx: int, invert: bool) -> None:
+        if self.counts_mode:
+            val = raw
+        else:
+            val = 1 if raw else 0
+            if invert:
+                val = 1 - val
+        row = self.rows.get(kmer)
+        if row is None:
+            row = np.array(self.default_value, dtype=np.int64)
+            self.rows[kmer] = row
+        row[idx] = val
 
     def remove_duplicate_values(self) -> None:
         """kmerge.cc:450-473: keep one representative row per distinct

@@ -73,3 +73,40 @@ def test_adaboost_picks_perfect_separator(tmp_path):
     assert float(first[0]) < 1e-9
     assert first[2:] == ["AAACGT"]
     assert float(first[1]) > 5  # large alpha on perfect split
+
+
+def test_kmc_roundtrip(tmp_path):
+    """io.kmc writer -> reader round trip, sorted iteration order."""
+    from close_kmers_tpu.io.kmc import (read_kmc_db, read_kmc_info,
+                                        write_kmc_db)
+    items = [("AAACGT", 3), ("GGGTTT", 1), ("CCCGTA", 260), ("TTTTTT", 7)]
+    base = str(tmp_path / "db1")
+    write_kmc_db(base, items, kmer_length=6, lut_prefix_length=2,
+                 counter_size=2)
+    info = read_kmc_info(base)
+    assert (info.kmer_length, info.lut_prefix_length, info.counter_size,
+            info.total_kmers) == (6, 2, 2, 4)
+    got = list(read_kmc_db(base))
+    assert got == sorted(items)
+
+
+def test_kmc_binary_input_matches_text(tmp_path):
+    """A KMC binary DB and its text dump produce identical matrices
+    (kmerge.cc:325-338 input sniffing, :375-400 iteration)."""
+    from close_kmers_tpu.io.kmc import write_kmc_db
+    tmp = setup_inputs(tmp_path)
+    text_out = run_kmerge(tmp)
+    kdir = tmp / "KMERS"
+    # replace r1 and s2 with binary KMC DBs: r1 referenced bare (sibling
+    # .kmc_pre sniff), s2 referenced with the .kmc_pre extension
+    write_kmc_db(str(kdir / "r1"), [("AAACGT", 3), ("GGGTTT", 1)],
+                 kmer_length=6, lut_prefix_length=2)
+    (kdir / "r1").unlink()
+    write_kmc_db(str(kdir / "s2"), [("CCCGTA", 1)], kmer_length=6,
+                 lut_prefix_length=3, counter_size=1)
+    (kdir / "s2").unlink()
+    (tmp / "sus.list").write_text("s1\ns2.kmc_pre\n")
+    bin_out = run_kmerge(tmp)
+    # the s2 column is named s2.kmc_pre in the header-less matrix body;
+    # values must match the all-text run line for line
+    assert bin_out == text_out
