@@ -61,13 +61,21 @@ def main(argv=None):
     ap.add_argument("--n-threads", type=int, default=1,
                     help="accepted for reference CLI compat; the batched "
                          "engine replaces thread-level parallelism")
+    ap.add_argument("--external", action="store_true",
+                    help="out-of-core build: spill extracted kmers to "
+                         "disk shards (RAM stays O(buffer + one shard))")
+    ap.add_argument("--work-dir", default=None,
+                    help="spill directory for --external (default: temp)")
+    ap.add_argument("--buffer-records", type=int, default=16_000_000,
+                    help="spill buffer size for --external")
     args = ap.parse_args(argv)
 
     out_dir = args.kmer_data_dir or args.kmer_data_dir_flag
     if not out_dir:
         ap.error("output data dir required (positional or --kmer-data-dir)")
 
-    from ..db.builder import build_signature_kmers
+    from ..db.builder import (build_signature_kmers,
+                               build_signature_kmers_external)
 
     def expand(dir_groups):
         files = []
@@ -85,11 +93,18 @@ def main(argv=None):
     good_functions = [g for p in args.good_functions for g in _read_list(p)]
     good_roles = [g for p in args.good_roles for g in _read_list(p)]
 
-    result = build_signature_kmers(
-        fastas, keeps, defs,
-        args.min_reps_required, good_functions, good_roles)
+    if args.external:
+        result = build_signature_kmers_external(
+            fastas, keeps, defs,
+            args.min_reps_required, good_functions, good_roles,
+            work_dir=args.work_dir, buffer_records=args.buffer_records,
+            progress=lambda m: print(m, file=sys.stderr))
+    else:
+        result = build_signature_kmers(
+            fastas, keeps, defs,
+            args.min_reps_required, good_functions, good_roles)
     print(f"kept {len(result.fm.function_index)} functions", file=sys.stderr)
-    print(f"Kept {len(result.kept_keys)} kmers", file=sys.stderr)
+    print(f"Kept {result.stats['distinct_signatures']} kmers", file=sys.stderr)
     print(f"distinct_signatures={result.stats['distinct_signatures']}",
           file=sys.stderr)
     print("num_seqs_with_a_signature="

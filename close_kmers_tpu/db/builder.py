@@ -149,10 +149,11 @@ class FunctionMap:
         return out
 
 
-def _extract_kmers(fm: FunctionMap, path: str, file_number: int,
-                   seqs_with_func: np.ndarray, keys, funcs, offs, seq_ids):
-    """load_fasta/load_sequence (:572-656): append raw-byte kmer keys with
-    attributes for every valid window of every kept-function protein."""
+def _iter_seq_kmers(fm: FunctionMap, path: str, file_number: int,
+                    seqs_with_func: np.ndarray):
+    """load_fasta/load_sequence (:572-656): yield per-sequence
+    (key, func, off, seq_id) arrays — raw-byte kmer keys with attributes
+    for every valid window of every kept-function protein."""
     from ..io.fasta import parse_fasta_file
     next_seq_id = file_number * MAX_SEQUENCES_PER_FILE
     for sid, _d, seq in parse_fasta_file(path):
@@ -178,11 +179,57 @@ def _extract_kmers(fm: FunctionMap, path: str, file_number: int,
             ok &= okc[j:j + n]
             key = (key << np.uint64(8)) | b[j:j + n].astype(np.uint64)
         idx = np.nonzero(ok)[0]
-        keys.append(key[idx])
-        funcs.append(np.full(len(idx), fi, dtype=np.int32))
         # offset from end INCLUDING this kmer: n_dist = len - i  (:609)
-        offs.append((len(b) - idx).astype(np.int32))
-        seq_ids.append(np.full(len(idx), seq_id, dtype=np.int64))
+        yield (key[idx], np.full(len(idx), fi, dtype=np.int32),
+               (len(b) - idx).astype(np.int32),
+               np.full(len(idx), seq_id, dtype=np.int64))
+
+
+def _group_kept(key_s, func_s, off_s, seq_s):
+    """Vectorized process_set (:663-710) over record arrays sorted by
+    (key, func): per kmer group take the plurality function (ties keep
+    the smallest index, std::max_element over an ordered map), keep iff
+    float(best_count) >= float(count) * 0.8f — FLOAT32 math, :673-682 —
+    and record the median offset sorted[size/2].
+
+    Returns (kept_keys, med_off, best_func, nsi, nsifj, kept_seq_ids)
+    where kept_seq_ids are the (non-unique) seq ids of entries in kept
+    groups (for the NSF tally, :699)."""
+    n = len(key_s)
+    empty = (np.zeros(0, np.uint64), np.zeros(0, np.int32),
+             np.zeros(0, np.int32), np.zeros(0, np.int64),
+             np.zeros(0, np.int64), np.zeros(0, np.int64))
+    if n == 0:
+        return empty
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    np.not_equal(key_s[1:], key_s[:-1], out=new_key[1:])
+    new_pair = new_key.copy()
+    new_pair[1:] |= func_s[1:] != func_s[:-1]
+    pair_idx = np.nonzero(new_pair)[0]
+    pair_count = np.diff(np.append(pair_idx, n)).astype(np.int64)
+    pair_func = func_s[pair_idx].astype(np.int64)
+    grp_first_pair = np.nonzero(new_key[pair_idx])[0]
+    grp_start = pair_idx[grp_first_pair]
+    grp_count = np.diff(np.append(grp_start, n)).astype(np.int64)
+    # encode (count, -func) so a single max gives plurality with
+    # smallest-func tie-breaking
+    M = int(pair_func.max()) + 2
+    v = pair_count * M + (M - 1 - pair_func)
+    best_v = np.maximum.reduceat(v, grp_first_pair)
+    best_count = best_v // M
+    best_func = (M - 1) - (best_v % M)
+    thresh = grp_count.astype(np.float32) * np.float32(0.8)
+    keep = best_count.astype(np.float32) >= thresh
+
+    # median offset: offsets sorted within each group
+    off_sorted = off_s[np.lexsort((off_s, key_s))]
+    med = off_sorted[grp_start + grp_count // 2]
+
+    kept_seq = seq_s[np.repeat(keep, grp_count)]
+    return (key_s[grp_start[keep]], med[keep].astype(np.int32),
+            best_func[keep].astype(np.int32), grp_count[keep],
+            best_count[keep], kept_seq)
 
 
 def _key_to_kmer(key: int) -> str:
@@ -261,8 +308,11 @@ def build_signature_kmers(
     seqs_with_func = np.zeros(max(n_funcs, 1), dtype=np.int64)
     keys, funcs, offs, seq_ids = [], [], [], []
     for file_number, p in enumerate(all_fastas):
-        _extract_kmers(fm, p, file_number, seqs_with_func,
-                       keys, funcs, offs, seq_ids)
+        for k, f, o, s in _iter_seq_kmers(fm, p, file_number, seqs_with_func):
+            keys.append(k)
+            funcs.append(f)
+            offs.append(o)
+            seq_ids.append(s)
 
     if keys:
         key = np.concatenate(keys)
@@ -276,47 +326,27 @@ def build_signature_kmers(
 
     # ---- group by kmer (sort-based replacement for the TBB multimap) ----
     order = np.lexsort((func, key))
-    key_s, func_s, off_s, seq_s = key[order], func[order], off[order], seq_id[order]
-    grp_start = np.nonzero(np.concatenate(
-        [[True], key_s[1:] != key_s[:-1]]))[0] if len(key_s) else np.zeros(0, int)
-    grp_end = np.concatenate([grp_start[1:], [len(key_s)]]).astype(np.int64) \
-        if len(key_s) else np.zeros(0, int)
+    kept_keys, med_off, best_funcs, nsi, nsifj, kept_seq = _group_kept(
+        key[order], func[order], off[order], seq_id[order])
 
-    kept_keys, med_off, best_funcs, nsi, nsifj = [], [], [], [], []
-    kept_group_ranges = []
-    for a, b in zip(grp_start, grp_end):
-        a, b = int(a), int(b)
-        count = b - a
-        # plurality function: entries sorted by func within group; ties on
-        # count keep the smallest index (std::max_element over std::map)
-        fvals, fcounts = np.unique(func_s[a:b], return_counts=True)
-        bi = int(np.argmax(fcounts))   # first max = smallest func on ties
-        best_func, best_count = int(fvals[bi]), int(fcounts[bi])
-        if best_count < 0.8 * count:
-            continue
-        o = np.sort(off_s[a:b])
-        kept_keys.append(key_s[a])
-        med_off.append(int(o[len(o) // 2]))
-        best_funcs.append(best_func)
-        nsi.append(count)
-        nsifj.append(best_count)
-        kept_group_ranges.append((a, b))
+    nsf = len(np.unique(kept_seq))  # NSF: distinct seqs w/ a signature (:699)
+    ks = len(kept_keys)             # distinct_signatures (:705)
+    weights = _signature_weights(nsi, nsifj, best_funcs, seqs_with_func,
+                                 nsf, ks, n_funcs)
 
-    kept_keys = np.array(kept_keys, dtype=np.uint64)
-    med_off = np.array(med_off, dtype=np.int32)
-    best_funcs = np.array(best_funcs, dtype=np.int32)
-    nsi = np.array(nsi, dtype=np.int64)
-    nsifj = np.array(nsifj, dtype=np.int64)
+    stats = dict(
+        distinct_signatures=ks,
+        num_seqs_with_a_signature=nsf,
+        seqs_with_func=seqs_with_func,
+        total_kmers_extracted=int(len(key)),
+    )
+    return BuildResult(fm, kept_keys, med_off, best_funcs, weights, stats)
 
-    # NSF: distinct sequences containing any kept signature (:699)
-    if kept_group_ranges:
-        seq_sets = np.concatenate([seq_s[a:b] for a, b in kept_group_ranges])
-        nsf = len(np.unique(seq_sets))
-    else:
-        nsf = 0
-    ks = len(kept_keys)  # distinct_signatures (:705)
 
-    # ---- weights (:841-853), float32 operands, double log math ----
+def _signature_weights(nsi, nsifj, best_funcs, seqs_with_func,
+                       nsf: int, ks: int, n_funcs: int) -> np.ndarray:
+    """compute_weight_of_signature (:841-853): float32 operands, double
+    log math."""
     NSF = np.float64(np.float32(nsf))
     KS = np.float64(np.float32(ks))
     NSi = np.float32(nsi).astype(np.float64)
@@ -326,12 +356,201 @@ def build_signature_kmers(
     with np.errstate(divide="ignore", invalid="ignore"):
         w = (np.log((NSiFj + 1.0) / (NSi - NSiFj + 1.0))
              + np.log((NSF - NFj + KS) / (NFj + KS)))
-    weights = w.astype(np.float32)
+    return w.astype(np.float32)
 
+
+# ---------------------------------------------------------------------------
+# Out-of-core builder: disk-backed shard spill -> per-shard sort/group.
+#
+# The reference holds every extracted kmer in a TBB concurrent multimap
+# (build_signature_kmers.cc:572-656, 1338-1348) — ~56 B/entry of RAM, which
+# caps it far below the 1e9-kmer PATRIC target on ordinary hosts.  Here
+# extraction streams 24-byte records into per-prefix spill files bucketed
+# by the kmer's first two raw bytes (an order-preserving range partition,
+# the host-side analogue of SURVEY §2.8's all-to-all kmer shuffle), then
+# each shard is sorted and grouped independently; concatenating shards in
+# prefix order reproduces the in-memory path's global kmer order, so the
+# outputs are byte-identical.
+# ---------------------------------------------------------------------------
+
+_SPILL_DTYPE = np.dtype([("key", "<u8"), ("func", "<i4"), ("off", "<i4"),
+                         ("seq", "<i8")])
+_KEPT_DTYPE = np.dtype([("key", "<u8"), ("med", "<i4"), ("func", "<i4"),
+                        ("nsi", "<i8"), ("nsifj", "<i8")])
+
+
+class _ShardSpiller:
+    """Buffered order-preserving range partition on the first two kmer
+    bytes (<= ~1600 live prefixes over the 40-char ok_prot alphabet)."""
+
+    def __init__(self, work_dir: str, buffer_records: int):
+        self.dir = work_dir
+        os.makedirs(work_dir, exist_ok=True)
+        self.buffer_records = buffer_records
+        self.buf: list[np.ndarray] = []
+        self.buffered = 0
+
+    def add(self, key, func, off, seq) -> None:
+        rec = np.empty(len(key), dtype=_SPILL_DTYPE)
+        rec["key"], rec["func"], rec["off"], rec["seq"] = key, func, off, seq
+        self.buf.append(rec)
+        self.buffered += len(rec)
+        if self.buffered >= self.buffer_records:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self.buf:
+            return
+        rec = np.concatenate(self.buf)
+        self.buf, self.buffered = [], 0
+        shard = (rec["key"] >> np.uint64(48)).astype(np.int64)
+        order = np.argsort(shard, kind="stable")
+        rec = rec[order]
+        shard = shard[order]
+        starts = np.nonzero(np.concatenate([[True], shard[1:] != shard[:-1]]))[0]
+        ends = np.append(starts[1:], len(rec))
+        for a, b in zip(starts, ends):
+            with open(os.path.join(self.dir, f"{int(shard[a]):05x}.spill"),
+                      "ab") as f:
+                f.write(rec[a:b].tobytes())
+
+    def shard_files(self) -> list[str]:
+        self.flush()
+        return sorted(os.path.join(self.dir, f)
+                      for f in os.listdir(self.dir) if f.endswith(".spill"))
+
+
+class ExternalBuildResult:
+    """Same products as BuildResult, streamed shard by shard."""
+
+    def __init__(self, fm, kept_paths: list[str], seqs_with_func,
+                 nsf: int, ks: int, stats: dict):
+        self.fm = fm
+        self.kept_paths = kept_paths
+        self.seqs_with_func = seqs_with_func
+        self.nsf = nsf
+        self.ks = ks
+        self.stats = stats
+
+    def iter_kept_chunks(self):
+        """Yield (keys_u64, med_off, best_func, weights) per shard, in
+        global kmer order."""
+        n_funcs = len(self.fm.function_index)
+        for p in self.kept_paths:
+            kept = np.fromfile(p, dtype=_KEPT_DTYPE)
+            w = _signature_weights(kept["nsi"], kept["nsifj"], kept["func"],
+                                   self.seqs_with_func, self.nsf, self.ks,
+                                   n_funcs)
+            yield kept["key"], kept["med"], kept["func"], w
+
+    def write_final_kmers(self, path: str) -> None:
+        with open(path, "w") as f:
+            for keys, med, func, w in self.iter_kept_chunks():
+                for i in range(len(keys)):
+                    f.write(f"{_key_to_kmer(keys[i])}\t{int(med[i])}\t"
+                            f"{int(func[i])}\t{'%g' % np.float32(w[i])}\t-1\n")
+
+    def to_signature_db(self) -> SignatureDB:
+        chunks = list(self.iter_kept_chunks())
+        entries = []
+        for keys, med, func, w in chunks:
+            for i in range(len(keys)):
+                entries.append((_key_to_kmer(keys[i]), int(med[i]),
+                                int(func[i]), float(w[i]), -1))
+        return SignatureDB.from_entries(
+            entries, functions=self.fm.functions_by_index())
+
+    def write_data_dir(self, out_dir: str, mem_map: bool = False,
+                       final_kmers: bool = True, npz: bool = True) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        write_index_file(os.path.join(out_dir, "function.index"),
+                         self.fm.functions_by_index())
+        open(os.path.join(out_dir, "otu.index"), "w").close()
+        with open(os.path.join(out_dir, "genomes"), "w") as f:
+            f.write("empty genomes\n")
+        if final_kmers:
+            self.write_final_kmers(os.path.join(out_dir, "final.kmers"))
+        if npz or mem_map:
+            db = self.to_signature_db()
+            if npz:
+                db.save_npz(os.path.join(out_dir, "signature_db.npz"))
+            if mem_map:
+                db.save_mem_map(os.path.join(out_dir, "kmer.table.mem_map"))
+
+
+def build_signature_kmers_external(
+    fasta_paths: list[str],
+    kept_function_fasta_paths: list[str] = (),
+    def_paths: list[str] = (),
+    min_reps_required: int = 5,
+    good_functions: list[str] = (),
+    good_roles: list[str] = (),
+    work_dir: str | None = None,
+    buffer_records: int = 16_000_000,
+    progress=None,
+) -> ExternalBuildResult:
+    """Out-of-core variant of build_signature_kmers: peak RAM is
+    O(buffer_records + largest shard), not O(total kmers).  Outputs are
+    byte-identical to the in-memory path."""
+    import tempfile
+
+    fm = FunctionMap()
+    fm.good_functions.update(good_functions)
+    fm.good_roles.update(good_roles)
+    for p in def_paths:
+        fm.load_id_assignments(p)
+    all_fastas = []
+    for p in fasta_paths:
+        fm.load_fasta_file(p, False)
+        all_fastas.append(p)
+    for p in kept_function_fasta_paths:
+        fm.load_fasta_file(p, True)
+        all_fastas.append(p)
+    fm.process_kept_functions(min_reps_required)
+
+    n_funcs = len(fm.function_index)
+    seqs_with_func = np.zeros(max(n_funcs, 1), dtype=np.int64)
+    work = work_dir or tempfile.mkdtemp(prefix="ck_build_")
+    spill = _ShardSpiller(os.path.join(work, "spill"), buffer_records)
+    total_extracted = 0
+    for file_number, p in enumerate(all_fastas):
+        for k, f, o, s in _iter_seq_kmers(fm, p, file_number, seqs_with_func):
+            spill.add(k, f, o, s)
+            total_extracted += len(k)
+        if progress:
+            progress(f"extracted {file_number + 1}/{len(all_fastas)} files, "
+                     f"{total_extracted:,} kmers")
+
+    kept_dir = os.path.join(work, "kept")
+    os.makedirs(kept_dir, exist_ok=True)
+    kept_paths: list[str] = []
+    ks = 0
+    seq_uniques: list[np.ndarray] = []
+    shard_files = spill.shard_files()
+    for i, sf in enumerate(shard_files):
+        rec = np.fromfile(sf, dtype=_SPILL_DTYPE)
+        order = np.lexsort((rec["func"], rec["key"]))
+        keys, med, func, nsi, nsifj, kept_seq = _group_kept(
+            rec["key"][order], rec["func"][order], rec["off"][order],
+            rec["seq"][order])
+        del rec, order
+        kept = np.empty(len(keys), dtype=_KEPT_DTYPE)
+        kept["key"], kept["med"], kept["func"] = keys, med, func
+        kept["nsi"], kept["nsifj"] = nsi, nsifj
+        kp = os.path.join(kept_dir, os.path.basename(sf) + ".kept")
+        kept.tofile(kp)
+        kept_paths.append(kp)
+        ks += len(keys)
+        seq_uniques.append(np.unique(kept_seq))
+        os.remove(sf)
+        if progress and (i + 1) % 64 == 0:
+            progress(f"grouped shard {i + 1}/{len(shard_files)}")
+
+    nsf = len(np.unique(np.concatenate(seq_uniques))) if seq_uniques else 0
     stats = dict(
         distinct_signatures=ks,
         num_seqs_with_a_signature=nsf,
         seqs_with_func=seqs_with_func,
-        total_kmers_extracted=int(len(key)),
+        total_kmers_extracted=total_extracted,
     )
-    return BuildResult(fm, kept_keys, med_off, best_funcs, weights, stats)
+    return ExternalBuildResult(fm, kept_paths, seqs_with_func, nsf, ks, stats)
