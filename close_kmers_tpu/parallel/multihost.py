@@ -58,6 +58,33 @@ def pod_mesh(n_data: int | None = None, n_table: int | None = None):
     return make_mesh(n_data, n_table, devices=devices)
 
 
+def replicate_to_global(mesh, *arrays):
+    """Host-local numpy inputs -> fully-replicated global arrays on a
+    multi-process mesh (every process must pass identical values).  A
+    no-op passthrough in single-process runs."""
+    import jax
+
+    if jax.process_count() == 1:
+        return arrays
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    return tuple(
+        multihost_utils.host_local_array_to_global_array(a, mesh, P())
+        for a in arrays)
+
+
+def addressable_rows(arr):
+    """Yield (index_tuple, numpy_data) for the shards of a (possibly
+    global, multi-process) jax.Array that live on THIS process — the
+    verification/consumption primitive for sharded step outputs when no
+    cross-process gather is wanted."""
+    import numpy as np
+
+    for sh in arr.addressable_shards:
+        yield sh.index, np.asarray(sh.data)
+
+
 def host_shard(items: list, process_id: int | None = None,
                num_processes: int | None = None) -> list:
     """Deterministic round-robin split of a work list across hosts."""

@@ -14,7 +14,15 @@ Two mesh splits are exercised per device count S:
 
 Usage: [BENCH_* env] python scripts/scaling_bench.py [max_devices]
        python scripts/scaling_bench.py --cpu [max_devices]   # virtual 8-dev mesh
+       python scripts/scaling_bench.py --multiproc N         # N local processes
 Prints one line per (split, S): ms/batch, proteins/s, efficiency vs S=1.
+
+--multiproc N spawns N jax.distributed processes on localhost (CPU
+backend, 4 virtual devices each) via scripts/multiproc_worker.py
+--bench and reports per-process throughput — the same launch shape as a
+real pod, where each host runs
+  JAX_COORDINATOR_ADDRESS=<host0>:<port> JAX_NUM_PROCESSES=<H> \
+  JAX_PROCESS_ID=<i> kser ... (multihost.initialize picks these up).
 
 Note: plain JAX_PLATFORMS=cpu is silently overridden by the container's
 sitecustomize (it pins the TPU tunnel before user code); --cpu forces
@@ -24,12 +32,28 @@ the virtual CPU mesh via jax.config, like tests/conftest.py.
 from __future__ import annotations
 
 import os
+import socket
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--multiproc" in sys.argv:
+    i = sys.argv.index("--multiproc")
+    nproc = int(sys.argv[i + 1])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sock = socket.socket(); sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]; sock.close()
+    env = dict(os.environ, PYTHONPATH=repo)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(repo, "scripts", "multiproc_worker.py"),
+         str(j), str(nproc), str(port), "--bench"], env=env)
+        for j in range(nproc)]
+    sys.exit(max(p.wait() for p in procs))
 
 if "--cpu" in sys.argv:
     sys.argv.remove("--cpu")
