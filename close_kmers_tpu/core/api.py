@@ -274,6 +274,38 @@ class KmerEngine:
                 r.best, seq_scores[i], mapping, kmer_hit_threshold,
                 allow_ambiguous, target_genus_id, genus_filter)
                 for i, r in enumerate(results)]
+        offsets, lengths = self.fa.pad_batch([s for _, s in items])
+        return self.best_family_matches_padded(
+            offsets, lengths, mapping, params, kmer_hit_threshold,
+            allow_ambiguous, target_genus_id, genus_filter)
+
+    def best_family_matches_padded(self, offsets, lengths, mapping,
+                                   params: EngineParams | None = None,
+                                   kmer_hit_threshold: int = 3,
+                                   allow_ambiguous: bool = False,
+                                   target_genus_id: int = 0,
+                                   genus_filter: bool = True):
+        """Array-native best_family_matches: callers with a pre-padded
+        [B, L] offsets grid (e.g. the /fq_lookup ORF batcher,
+        ops.translate.batch_orf_arrays) skip the per-sequence pad_batch
+        copy loop entirely."""
+        from ..native import api as native
+        from .device_family import DeviceFamilyScorer
+        from .device_score import DeviceScorer
+        from .family import find_best_family_match, \
+            find_best_family_matches_batch
+
+        params = params or EngineParams()
+        dfs = self._device_family_scorer(mapping)
+        if dfs is None:
+            items = [(str(i), offsets[i, :int(lengths[i])])
+                     for i in range(offsets.shape[0])]
+            results, seq_scores = self.annotate_family(items, mapping,
+                                                       params, want_best=True)
+            return [find_best_family_match(
+                r.best, seq_scores[i], mapping, kmer_hit_threshold,
+                allow_ambiguous, target_genus_id, genus_filter)
+                for i, r in enumerate(results)]
 
         # Fixed-size chunks (pad the tail with empty sequences): serving
         # batches vary per request and every distinct B is a fresh
@@ -285,22 +317,27 @@ class KmerEngine:
         # on a small chunk scales with the next chunk's B instead of
         # forcing an escalation ladder of fresh compiles; on overflow we
         # jump straight to what the failed readback says is needed.
-        B0 = len(items)
+        B0 = int(offsets.shape[0])
+        if B0 == 0:
+            return []
         CH = self.FAMILY_MATCH_CHUNK
-        B = CH if B0 > CH else max(256, 1 << (B0 - 1).bit_length())
-        seqs = [s for _, s in items]
+        B = CH if B0 > CH else max(256, 1 << max(B0 - 1, 0).bit_length())
+        lengths = np.asarray(lengths, dtype=np.int32)
         pending = []
         for a in range(0, B0, B):
-            chunk = seqs[a:a + B]
-            n = len(chunk)
+            c_off = offsets[a:a + B]
+            c_len = lengths[a:a + B]
+            n = c_off.shape[0]
             if n < B:
-                chunk = chunk + [""] * (B - n)
-            offsets, lengths = self.fa.pad_batch(chunk)
+                pad = np.full((B - n, offsets.shape[1]), 20, np.uint8)
+                c_off = np.concatenate([c_off, pad])
+                c_len = np.concatenate([c_len,
+                                        np.zeros(B - n, np.int32)])
             ccap = getattr(dfs, "_bm_ccap", 1)
             gcap = getattr(dfs, "_bm_gps", 2) * B
             calls_dev, call_cap, rows_dev, _ = dfs.score_family_packed(
-                offsets, lengths, params, ccap, -gcap)
-            pending.append((offsets, lengths, n, calls_dev, call_cap,
+                c_off, c_len, params, ccap, -gcap)
+            pending.append((c_off, c_len, n, calls_dev, call_cap,
                             rows_dev, gcap))
 
         bests: list = []

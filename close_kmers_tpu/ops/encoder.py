@@ -60,6 +60,25 @@ def encode_aa_kmer(kmer: str | bytes) -> int:
     return int((off.astype(np.int64) * _POW20).sum())
 
 
+def raw_keys_to_encoded(raw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized builder-key conversion: uint64 raw-byte kmer keys (8
+    latin-1 chars big-endian, db/builder.py) -> (base-20 encoded int64
+    codes, valid mask).  Invalid characters (incl. lowercase) make the
+    whole kmer invalid, like insert_kmer via encoded_aa_kmer
+    (kguts.cc:194-200, kmer_encoder.h:37-50).  For all-valid keys the
+    raw-byte lexicographic order equals the encoded numeric order
+    (PROT_ALPHA is alphabetically ascending)."""
+    raw = np.asarray(raw, dtype=np.uint64)
+    code = np.zeros(len(raw), dtype=np.int64)
+    valid = np.ones(len(raw), dtype=bool)
+    for i in range(K):
+        byte = ((raw >> np.uint64(8 * (K - 1 - i))) & np.uint64(0xFF))
+        off = AA_TO_OFFSET[byte.astype(np.int64)]
+        valid &= off < 20
+        code = code * 20 + off
+    return code, valid
+
+
 def decode_kmer(code: int) -> str:
     """Inverse of encode for valid codes (kmer_encoder.h:70-80)."""
     out = []

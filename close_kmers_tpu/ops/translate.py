@@ -22,6 +22,8 @@ import re
 
 import numpy as np
 
+from ..params import K
+
 # Indexed by c1*16 + c2*4 + c3 with A=0, C=1, G=2, T/U=3 (kguts.cc:24-29).
 GENETIC_CODE = (
     "KNKNTTTTRSRSIIMI"
@@ -274,6 +276,142 @@ def batch_possible_protein_orfs(seqs: list, min_len: int = 10):
             per_read.append((frame, toks))
         read_frames.append(per_read)
     return orfs, read_frames
+
+
+def _frame_token_spans(srows: np.ndarray, scols: np.ndarray,
+                       n_aa: np.ndarray):
+    """Vectorized _row_tokens over all rows of one frame: given the
+    frame's stop positions (row-major sorted) and per-row aa counts,
+    return (tok_row, tok_start, tok_end) for every re.split('\\*+')
+    token — interior stop runs compress, leading/trailing stops produce
+    empty edge tokens (dna_seq.cc:9-23, token_compress_on)."""
+    R = len(n_aa)
+    m = len(srows)
+    if m:
+        new_run = np.ones(m, dtype=bool)
+        new_run[1:] = (srows[1:] != srows[:-1]) | (scols[1:] != scols[:-1] + 1)
+        run_idx = np.nonzero(new_run)[0]
+        run_row = srows[run_idx]
+        run_start = scols[run_idx]
+        run_end = scols[np.append(run_idx[1:] - 1, m - 1)]
+    else:
+        run_row = np.zeros(0, np.int64)
+        run_start = run_end = np.zeros(0, np.int64)
+    runs_per_row = np.bincount(run_row, minlength=R)
+    ntok = runs_per_row + 1
+    total = int(ntok.sum())
+    tok_row = np.repeat(np.arange(R, dtype=np.int64), ntok)
+    row_ptr = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(ntok, out=row_ptr[1:])
+    pos = np.arange(total, dtype=np.int64) - row_ptr[tok_row]
+    if len(run_start) == 0:   # no stops anywhere: one [0, n_aa) token/row
+        return tok_row, np.zeros(total, np.int64), n_aa[tok_row]
+    run_ptr = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(runs_per_row, out=run_ptr[1:])
+    guard = len(run_end) - 1
+    start = np.where(pos == 0, 0,
+                     run_end[np.clip(run_ptr[tok_row] + pos - 1, 0, guard)]
+                     + 1)
+    last = pos == ntok[tok_row] - 1
+    end = np.where(last, n_aa[tok_row],
+                   run_start[np.clip(run_ptr[tok_row] + pos, 0, guard)])
+    return tok_row, start, end
+
+
+def batch_orf_arrays(seqs: list, min_len: int = 10,
+                     pad_pow2: bool = True):
+    """Array-native batch_possible_protein_orfs: identical token
+    semantics (tested equal), but everything stays numpy — no per-token
+    Python objects and no per-ORF slicing, the dominant host cost of
+    /fq_lookup serving (fq_process_request.cc:298-317 is the reference
+    path being batched).
+
+    Returns (offsets, lengths, toks):
+      offsets — uint8 [n_orfs, L] aa-offset grid (20-padded, L padded to
+        a power of two like FastAnnotator.pad_batch), device-ready;
+      lengths — int32 [n_orfs];
+      toks — dict of int32/int8 arrays over ALL tokens in (read, frame,
+        token) order: ``read``, ``fpos`` (0..5 = frames 1,2,3,-1,-2,-3),
+        ``len``, ``orf`` (row into offsets, -1 for tokens <= min_len).
+    """
+    R = len(seqs)
+    empty_toks = dict(read=np.zeros(0, np.int32), fpos=np.zeros(0, np.int8),
+                      len=np.zeros(0, np.int32), orf=np.zeros(0, np.int32))
+    if R == 0:
+        return (np.zeros((0, K + 2), np.uint8), np.zeros(0, np.int32),
+                empty_toks)
+    rows = [_DNA_CHAR[_to_bytes(s)] for s in seqs]
+    n = np.array([len(r) for r in rows], dtype=np.int64)
+    Lmax = max(int(n.max()), 3)
+    d = np.full((R, Lmax), 4, dtype=np.uint8)
+    for r, row in enumerate(rows):
+        d[r, :len(row)] = row
+    j = np.arange(Lmax, dtype=np.int64)[None, :]
+    src = n[:, None] - 1 - j
+    rc = np.where(src >= 0,
+                  _DIGIT_COMP[d[np.arange(R)[:, None],
+                                np.clip(src, 0, Lmax - 1)]],
+                  np.uint8(4))
+
+    f_mats, f_tok = [], []
+    for sign, mat in ((1, d), (-1, rc)):
+        for off in range(3):
+            W = (Lmax - off) // 3
+            if W > 0:
+                c = mat[:, off:off + 3 * W]
+                idx5 = (c[:, 0::3] * np.uint8(25) + c[:, 1::3] * np.uint8(5)
+                        + c[:, 2::3])
+                srows, scols = np.nonzero(_T11_STOP5[idx5])
+                off_mat = _T11_OFF5[idx5]
+            else:
+                srows = scols = np.zeros(0, np.int64)
+                off_mat = np.zeros((R, 0), np.uint8)
+            n_aa = np.maximum((n - off) // 3, 0)
+            f_mats.append(off_mat)
+            f_tok.append(_frame_token_spans(srows, scols, n_aa))
+
+    # global (read, frame, token) ordering
+    tok_row = np.concatenate([t[0] for t in f_tok])
+    tok_start = np.concatenate([t[1] for t in f_tok])
+    tok_end = np.concatenate([t[2] for t in f_tok])
+    tok_fpos = np.concatenate([np.full(len(t[0]), f, np.int8)
+                               for f, t in enumerate(f_tok)])
+    tok_pos = np.concatenate([np.arange(len(t[0])) for t in f_tok])
+    order = np.lexsort((tok_pos, tok_fpos, tok_row))
+    tok_row, tok_start, tok_end = (tok_row[order], tok_start[order],
+                                   tok_end[order])
+    tok_fpos = tok_fpos[order]
+    tok_len = (tok_end - tok_start).astype(np.int32)
+
+    kept = tok_len > min_len
+    n_orfs = int(kept.sum())
+    tok_orf = np.full(len(tok_len), -1, dtype=np.int32)
+    tok_orf[kept] = np.arange(n_orfs, dtype=np.int32)
+
+    maxlen = int(tok_len[kept].max()) if n_orfs else 0
+    L = max(maxlen + 1, K + 2)
+    if pad_pow2:
+        L = 1 << (L - 1).bit_length()
+    offsets = np.full((n_orfs, L), 20, dtype=np.uint8)
+    lengths = tok_len[kept].astype(np.int32)
+    col = np.arange(L, dtype=np.int64)[None, :]
+    for f, mat in enumerate(f_mats):
+        sel = kept & (tok_fpos == f)
+        if not sel.any():
+            continue
+        rsel = tok_row[sel]
+        ssel = tok_start[sel]
+        lsel = tok_len[sel].astype(np.int64)
+        W = mat.shape[1]
+        src_cols = np.clip(ssel[:, None] + col, 0, max(W - 1, 0))
+        vals = mat[rsel[:, None], src_cols] if W else np.full(
+            (len(rsel), L), 20, np.uint8)
+        vals = np.where(col < lsel[:, None], vals, np.uint8(20))
+        offsets[tok_orf[sel]] = vals
+
+    toks = dict(read=tok_row.astype(np.int32), fpos=tok_fpos,
+                len=tok_len, orf=tok_orf)
+    return offsets, lengths, toks
 
 
 def get_possible_proteins(seq: str | bytes) -> list[tuple[int, list[str]]]:

@@ -35,7 +35,7 @@ from ..core import oracle as O, family as F
 from ..core.api import KmerEngine
 from ..db.family_db import KmerFamilyMapping, FamilyReps
 from ..io.fasta import FastaParser, FastqParser
-from ..ops.translate import batch_possible_protein_orfs
+from ..ops.translate import batch_orf_arrays
 
 REQUEST_RE = re.compile(r"^([A-Z]+) ([^?#]*)(\?([^#]*))?(#(.*))? HTTP/(\d+\.\d+)")
 MAPPING_PATH_RE = re.compile(r"^/mapping/([^/]+)(/(add|matrix|lookup))$")
@@ -99,6 +99,16 @@ class ServerContext:
             self._compute,
             lambda: self.engine.best_family_matches(items, mapping, params,
                                                     **kw))
+
+    async def best_family_matches_padded(self, offsets, lengths, mapping,
+                                         params, **kw):
+        """Array-native best_family_matches on the compute thread (the
+        /fq_lookup path: a pre-padded ORF grid, no per-item Python)."""
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(
+            self._compute,
+            lambda: self.engine.best_family_matches_padded(
+                offsets, lengths, mapping, params, **kw))
 
     def checkpoint(self) -> str:
         """Persist the mutable server state (the mapping universes) to a
@@ -440,75 +450,70 @@ async def handle_fq_lookup(ctx, req, body, writer, mapping):
         await _write(writer, out)
 
 
+_FRAME_OF_FPOS = (1, 2, 3, -1, -2, -3)
+
+
 async def _process_reads(ctx, reads, params, req) -> str:
-    """Per-read 6-frame scan (fq_process_request.cc:298-365)."""
+    """Per-read 6-frame scan (fq_process_request.cc:298-365), array-native:
+    the digit-space ORF batcher hands a padded device-ready grid straight
+    to the fused family pass, and the best-frame selection runs as a
+    (read x frame) reduction, so the host never loops over tokens."""
     if not reads:
         return ""
-    eng = ctx.engine
     mapping = ctx.mapping_map.get("", None)
     kmer_hit_threshold = req.int_param("kmer_hit_threhsold", 3)
-    # Gather all ORFs > 10 aa across reads/frames into one batch
-    # (vectorized digit-space split — the per-read regex pipeline was
-    # the dominant host cost of this endpoint).
     kept = [(ri, rid, seq) for ri, (rid, seq) in enumerate(reads) if rid]
-    orf_arrays, per_read = batch_possible_protein_orfs(
+    offsets, lengths, toks = batch_orf_arrays(
         [seq for _, _, seq in kept])
-    orf_items = []
-    read_frames = []  # (read_idx, frame, [orf indices], [orf lens])
-    for (ri, rid, _seq), frames6 in zip(kept, per_read):
-        for frame, toks in frames6:
-            idxs, lens = [], []
-            for ln, oi in toks:
-                if oi >= 0:
-                    # oi is already in (read, frame, token) order, i.e.
-                    # exactly len(orf_items)
-                    idxs.append(oi)
-                    orf_items.append((rid, orf_arrays[oi]))
-                else:
-                    idxs.append(-1)
-                lens.append(ln)
-            read_frames.append((ri, frame, idxs, lens))
-    if not orf_items:
+    if offsets.shape[0] == 0:
         return ""
-    matches = await ctx.best_family_matches(
-        orf_items, mapping, params,
+    matches = await ctx.best_family_matches_padded(
+        offsets, lengths, mapping, params,
         kmer_hit_threshold=kmer_hit_threshold, genus_filter=False)
+    scores = np.array([m.score for m in matches], dtype=np.float64)
 
-    # best-frame selection with the running-score copy quirk
-    # (fq_process_request.cc:318-348)
+    # Best-frame selection with the running-score copy quirk
+    # (fq_process_request.cc:318-348): running score within a frame is
+    # non-decreasing (ORF scores >= 0), so a frame's running max equals
+    # its total, strict `>` makes the FIRST max-total frame win, and the
+    # captured match list is the winning frame's token prefix up to its
+    # LAST positive-score ORF (trailing zero-score ORFs never trigger the
+    # snapshot copy).  Equivalence with the reference's token loop is
+    # locked by tests/test_server.py's golden yfq/zfq responses and the
+    # fq quirk unit test.
+    R = len(kept)
+    tok_score = np.where(toks["orf"] >= 0, scores[toks["orf"]], 0.0)
+    totals = np.zeros((R, 6), dtype=np.float64)
+    np.add.at(totals, (toks["read"], toks["fpos"].astype(np.int64)),
+              tok_score)
+    best_score = totals.max(axis=1)
+    win_fpos = np.argmax(totals, axis=1)   # first max wins (strict >)
+
+    # tokens of each read's winning frame, in order
+    sel = (toks["fpos"] == win_fpos[toks["read"]]) \
+        & (best_score[toks["read"]] > 0.0)
+    s_read = toks["read"][sel]
+    s_len = toks["len"][sel]
+    s_orf = toks["orf"][sel]
+    s_score = tok_score[sel]
+    # prefix cut: last positive-score token per read
+    pos_idx = np.nonzero(s_score > 0)[0]
+    last_pos = np.full(R, -1, dtype=np.int64)
+    last_pos[s_read[pos_idx]] = pos_idx     # ascending -> last wins
+    keep_tok = (np.arange(len(s_read)) <= last_pos[s_read]) & (s_orf >= 0)
+
     out = []
-    cur_read = None
-    best_score = 0.0
-    best_frame = 0
-    best_matches = []
-    lines = {}
-    for entry_i, (ri, frame, idxs, lens) in enumerate(read_frames):
-        if cur_read != ri:
-            if cur_read is not None and best_score > 0.0:
-                lines[cur_read] = (best_frame, best_score, best_matches)
-            cur_read = ri
-            best_score, best_frame, best_matches = 0.0, 0, []
-        score = 0.0
-        frame_matches = []
-        for oi, olen in zip(idxs, lens):
-            if oi >= 0:
-                m = matches[oi]
-                frame_matches.append((olen, m))
-                score += m.score
-            if score > best_score:
-                best_score = score
-                best_frame = frame
-                best_matches = list(frame_matches)
-    if cur_read is not None and best_score > 0.0:
-        lines[cur_read] = (best_frame, best_score, best_matches)
-
-    for ri, (rid, seq) in enumerate(reads):
-        if ri in lines:
-            frame, score, ms = lines[ri]
-            parts = [f"{rid}\t{frame}\t{'%g' % score}"]
-            for olen, m in ms:
-                parts.append(f"{olen}\t{F.format_best_match_fq(m)}")
-            out.append("\t".join(parts) + "\n")
+    k = np.nonzero(keep_tok)[0]
+    bounds = np.searchsorted(s_read[k], np.arange(R + 1))
+    for rj, (ri, rid, _seq) in enumerate(kept):
+        if best_score[rj] <= 0.0:
+            continue
+        parts = [f"{rid}\t{_FRAME_OF_FPOS[win_fpos[rj]]}\t"
+                 f"{'%g' % best_score[rj]}"]
+        for t in k[bounds[rj]:bounds[rj + 1]]:
+            parts.append(f"{s_len[t]}\t"
+                         f"{F.format_best_match_fq(matches[s_orf[t]])}")
+        out.append("\t".join(parts) + "\n")
     return "".join(out)
 
 

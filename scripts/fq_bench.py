@@ -53,7 +53,7 @@ def main():
     import jax
     from close_kmers_tpu.core.api import KmerEngine
     from close_kmers_tpu.db.family_db import KmerFamilyMapping
-    from close_kmers_tpu.ops.translate import batch_possible_protein_orfs
+    from close_kmers_tpu.ops.translate import batch_orf_arrays
     from close_kmers_tpu.params import EngineParams
 
     cache_dir = os.path.join(bench.CACHE, "jax")
@@ -94,35 +94,24 @@ def main():
           file=sys.stderr)
 
     def one_pass():
+        # the serving path: array-native ORF batcher -> padded fused
+        # family pass -> (read x frame) reduction (server/http.py
+        # _process_reads)
         t0 = time.time()
-        orf_arrays, frames_per_read = batch_possible_protein_orfs(
-            [seq for _, seq in reads])
-        orf_items = []
-        per_read = []  # (read_i, frame, orf index) triples
-        for ri, frames6 in enumerate(frames_per_read):
-            for frame, toks in frames6:
-                for _ln, oi in toks:
-                    if oi >= 0:
-                        per_read.append((ri, frame, oi))
-                        orf_items.append((reads[ri][0], orf_arrays[oi]))
+        ofs, lens, toks = batch_orf_arrays([seq for _, seq in reads])
         t_orf = time.time() - t0
-        matches = eng.best_family_matches(orf_items, mapping, params,
-                                          kmer_hit_threshold=3,
-                                          genus_filter=False)
-        # best frame per read = argmax over frames of summed ORF scores
-        frame_scores: dict[tuple[int, int], float] = {}
-        for ri, frame, oi in per_read:
-            m = matches[oi]
-            if m.gfam_score > 0:
-                frame_scores[(ri, frame)] = \
-                    frame_scores.get((ri, frame), 0.0) + m.score
-        best: dict[int, tuple[float, int]] = {}
-        for (ri, frame), s in frame_scores.items():
-            if s > best.get(ri, (0.0, 0))[0]:
-                best[ri] = (s, frame)
+        matches = eng.best_family_matches_padded(
+            ofs, lens, mapping, params, kmer_hit_threshold=3,
+            genus_filter=False)
+        scores = np.array([m.score if m.gfam_score > 0 else 0.0
+                           for m in matches], dtype=np.float64)
+        tok_score = np.where(toks["orf"] >= 0, scores[toks["orf"]], 0.0)
+        totals = np.zeros((len(reads), 6), dtype=np.float64)
+        np.add.at(totals, (toks["read"], toks["fpos"].astype(np.int64)),
+                  tok_score)
+        n_called = int((totals.max(axis=1) > 0).sum())
         dt = time.time() - t0
-        return dt, t_orf, len(orf_items), sum(1 for v in best.values()
-                                              if v[0] > 0)
+        return dt, t_orf, ofs.shape[0], n_called
 
     one_pass()  # compile + warm
     best_dt = None

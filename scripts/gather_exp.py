@@ -292,6 +292,140 @@ def main():
                 d.sub_header, d.sub_blocks, q_hi, q_lo, valid)
             del d
 
+    if any(e in which for e in ("scale_bin", "scale_csr", "slice256",
+                                "slice128", "scale_wide", "scale_pay")):
+        # Single-chip 200M-key regime (the scale demo): buckets average
+        # ~65 entries, so wide rows (7.7 GB) and sub blocks (25 GB) are
+        # memory-gated off and the XLA fallback is the n_steps binary
+        # search.  Candidate: "CSR slice probe" — bucket_pair row gather
+        # + one vmapped dynamic_slice over the flat lo array (width Ws >=
+        # max bucket) + one payload row gather.  3 gather-class ops, no
+        # dense per-bucket padding.
+        from close_kmers_tpu.params import LO_CARD
+
+        n_keys = int(os.environ.get("EXP_SCALE_KEYS", 208_000_000))
+        H = 3_200_000
+        # synthesize sorted keys at uniform density without a giant unique:
+        # draw per-bucket counts ~ multinomial via poisson, then lo values
+        bucket_cnt = rng.poisson(n_keys / H, size=H).astype(np.int64)
+        n = int(bucket_cnt.sum())
+        max_b = int(bucket_cnt.max())
+        print(f"scale DB: {n:,} keys, max bucket {max_b}", flush=True)
+        bucket_start = np.zeros(H + 1, dtype=np.int64)
+        np.cumsum(bucket_cnt, out=bucket_start[1:])
+        los = rng.integers(0, LO_CARD, size=n, dtype=np.int64).astype(np.int32)
+        # sort lo within buckets: segment sort via (bucket, lo) lexsort
+        seg = np.repeat(np.arange(H, dtype=np.int64), bucket_cnt)
+        order = np.lexsort((los, seg))
+        los = los[order]
+        del seg, order
+        Ws = 256
+        pair = jnp.asarray(np.stack([bucket_start[:-1], bucket_start[1:]],
+                                    axis=1).astype(np.int32))
+        lo_pad = jnp.asarray(np.concatenate(
+            [los, np.full(Ws, -9, np.int32)]))
+        payload = jnp.asarray(
+            rng.integers(0, 100, size=(1, 4), dtype=np.int64)
+            .astype(np.int32).repeat(1, axis=0))
+        payload = jnp.zeros((n + 1, 4), dtype=jnp.int32) + 7
+        q_hi = jnp.asarray(rng.integers(0, H, size=N_IDX, dtype=np.int64)
+                           .astype(np.int32))
+        q_lo = jnp.asarray(rng.integers(0, LO_CARD, size=N_IDX,
+                                        dtype=np.int64).astype(np.int32))
+
+        def csr_probe(ws, c, pair, lo_pad, payload, hi_q, lo_q):
+            pr = pair[hi_q]
+            start, end = pr[:, 0], pr[:, 1]
+            sl = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(lo_pad, (s,), (ws,)))(start)
+            j = jax.lax.broadcasted_iota(jnp.int32, sl.shape, 1)
+            match = (sl == lo_q[:, None]) & (j < (end - start)[:, None])
+            found = match.any(axis=-1)
+            pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
+            ridx = jnp.where(found, start + pos, payload.shape[0] - 1)
+            pay = payload[ridx]
+            wt = jax.lax.bitcast_convert_type(pay[:, 3], jnp.float32)
+            return (c + found.sum().astype(jnp.float32)
+                    + pay[:, 0].sum().astype(jnp.float32) + wt.sum())
+
+        def slice_only(ws, c, lo_pad, starts):
+            sl = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(lo_pad, (s,), (ws,)))(starts)
+            return c + sl[:, :4].sum().astype(jnp.float32)
+
+        def bin_probe(c, pair, lo_pad, payload, hi_q, lo_q, *, n_steps):
+            pr = pair[hi_q]
+            left, end = pr[:, 0], pr[:, 1]
+            right = end
+
+            def step(_, lr):
+                left, right = lr
+                cont = left < right
+                mid = (left + right) >> 1
+                v = lo_pad[jnp.minimum(mid, n)]
+                go_right = cont & (v < lo_q)
+                return (jnp.where(go_right, mid + 1, left),
+                        jnp.where(cont & ~go_right, mid, right))
+
+            left, right = jax.lax.fori_loop(0, n_steps, step, (left, right))
+            idxr = jnp.minimum(left, n)
+            found = (left < end) & (lo_pad[idxr] == lo_q)
+            pay = payload[jnp.where(found, idxr, n)]
+            wt = jax.lax.bitcast_convert_type(pay[:, 3], jnp.float32)
+            return (c + found.sum().astype(jnp.float32)
+                    + pay[:, 0].sum().astype(jnp.float32) + wt.sum())
+
+        starts = jnp.asarray(
+            rng.integers(0, n - Ws, size=N_IDX, dtype=np.int64)
+            .astype(np.int32))
+        if "slice128" in which:
+            measure("slice128", functools.partial(slice_only, 128),
+                    lo_pad, starts)
+        if "slice256" in which:
+            measure("slice256", functools.partial(slice_only, 256),
+                    lo_pad, starts)
+        if "scale_csr" in which:
+            measure("scale_csr", functools.partial(csr_probe, Ws),
+                    pair, lo_pad, payload, q_hi, q_lo)
+        if "scale_wide" in which:
+            # lo_wide 2-gather at scale: dense [H, lane_pad(1+maxb)] rows
+            # (1.64 GB at 208M keys) + the [n+1, 4] payload gather.
+            from close_kmers_tpu.core.engine import _lane_pad
+            row_w = _lane_pad(1 + max_b)
+            lw = np.full((H, row_w), 2 ** 30, dtype=np.int32)
+            lw[:, 0] = bucket_start[:-1]
+            for j in range(max_b):
+                mk = bucket_cnt > j
+                lw[mk, 1 + j] = los[bucket_start[:-1][mk] + j]
+            lw_j = jnp.asarray(lw)
+            del lw
+
+            def wide_probe(c, lw_t, payload, hi_q, lo_q):
+                row = lw_t[hi_q]
+                left = row[:, 0]
+                match = row[:, 1:1 + max_b] == lo_q[:, None]
+                found = match.any(axis=-1)
+                pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
+                ridx = jnp.where(found, left + pos, payload.shape[0] - 1)
+                pay = payload[ridx]
+                wt = jax.lax.bitcast_convert_type(pay[:, 3], jnp.float32)
+                return (c + found.sum().astype(jnp.float32)
+                        + pay[:, 0].sum().astype(jnp.float32) + wt.sum())
+
+            measure("scale_wide", wide_probe, lw_j, payload, q_hi, q_lo)
+            del lw_j
+        if "scale_pay" in which:
+            # isolated narrow payload gather from the 208M-row table
+            ridx = jnp.asarray(rng.integers(0, n, size=N_IDX,
+                                            dtype=np.int64).astype(np.int32))
+            measure("scale_pay", xla_gather, payload, ridx)
+        if "scale_bin" in which:
+            import math as _math
+            n_steps = max(1, _math.ceil(_math.log2(max_b + 1)))
+            measure("scale_bin",
+                    functools.partial(bin_probe, n_steps=n_steps),
+                    pair, lo_pad, payload, q_hi, q_lo)
+
     if any(e in which for e in ("pf0", "pf1", "pf2", "pf3")):
         # Bisect the gap between the isolated selection (probe128, ~22ms)
         # and the in-program probe stage (devperf probe_raw, ~32ms) by
