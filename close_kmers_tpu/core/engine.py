@@ -121,12 +121,20 @@ class DeviceDB:
     SUB = 16              # sub-buckets per bucket (power of two)
     SUB_BUCKET_MAX = 256  # max entries per sub-bucket (block row width)
     SUB_MAX_BYTES = 4 << 30
+    # lo_wide fallback budget: at PATRIC-density scale (e.g. 208M keys,
+    # avg bucket ~65, max ~110) payload_wide (~34 GB) and sub blocks
+    # (~40 GB) are memory-gated off, but the lo-only wide table is
+    # H * lane_pad(1+max_bucket) * 4 B (~1.6 GB) and probes 6.4x faster
+    # than the binary-search fallback (43.5 vs 278 ms / 2.49M windows at
+    # 208M keys, scripts/gather_exp.py scale_wide vs scale_bin).
+    LO_WIDE_MAX_BYTES = 3 << 30
 
     @classmethod
     def from_db(cls, db: SignatureDB, device=None,
                 wide: bool | None = None,
                 wide_payload: bool | None = None,
-                sub: bool | None = None) -> "DeviceDB":
+                sub: bool | None = None,
+                wide_lo: bool | None = None) -> "DeviceDB":
         put = functools.partial(jax.device_put, device=device)
         n_steps = max(1, math.ceil(math.log2(db.max_bucket + 1))) if len(db) else 1
         n = len(db)
@@ -164,15 +172,6 @@ class DeviceDB:
                     pw[m, 1 + p * WIDE + j] = plane[rows]
             payload_wide = put(jnp.asarray(pw))
             wide_w = WIDE
-        elif wide and n:
-            # rows lane-padded (sentinel never matches, so no width
-            # bookkeeping is needed here)
-            lw = np.full((H, _lane_pad(1 + WIDE)), 2 ** 30, dtype=np.int32)
-            lw[:, 0] = starts
-            for j in range(WIDE):
-                m = counts > j
-                lw[m, 1 + j] = db.lo[starts[m] + j]
-            lo_wide = put(jnp.asarray(lw))
 
         sub_header = sub_blocks = None
         sub_w = 0
@@ -206,6 +205,36 @@ class DeviceDB:
                 sub_header = put(jnp.asarray(header))
                 sub_blocks = put(jnp.asarray(blocks))
                 sub_w = max_sub
+
+        if wide_lo is None:
+            wide_lo = (wide or
+                       H * _lane_pad(1 + WIDE) * 4 <= cls.LO_WIDE_MAX_BYTES)
+        if payload_wide is None and sub_blocks is None and n and wide_lo:
+            # lo-only wide rows [start, sentinel-padded lo plane]: the
+            # small-DB wide tier when payload_wide is byte-gated, and the
+            # scale tier when sub blocks are byte-gated.  Built with one
+            # flat scatter (per-key rank within its bucket).
+            row_w = _lane_pad(1 + WIDE)
+            lw = np.full(H * row_w, 2 ** 30, dtype=np.int32)
+            lw[::row_w][:H] = starts
+            rank = np.arange(n, dtype=np.int64) \
+                - db.bucket_start[db.hi].astype(np.int64)
+            lw[db.hi.astype(np.int64) * row_w + 1 + rank] = db.lo
+            lo_wide = put(jnp.asarray(lw.reshape(H, row_w)))
+            del lw
+
+        # Slim uploads: the binary-search arrays are dead when a wide/sub
+        # layout probes instead, and the [N+1, 4] payload is dead when the
+        # layout carries its own payload planes — at 208M keys that skips
+        # ~4.2 GB of HBM + transfer.  Dummies keep the jit signatures and
+        # the miss-row convention (idx = n) intact.
+        has_layout = (payload_wide is not None or sub_blocks is not None
+                      or lo_wide is not None)
+        if has_layout:
+            pair = pair[:0]
+            lo = lo[:1]
+        if payload_wide is not None or sub_blocks is not None:
+            payload = payload[-1:]
         return cls(
             bucket_pair=put(jnp.asarray(pair)),
             lo=put(jnp.asarray(lo)),

@@ -156,9 +156,125 @@ def pallas_dma_gather(table, idx, width, rows_out, depth=16):
     )(idx.reshape(n_tiles, TILE), table)
 
 
+def _interp() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def pallas_vgather(n_idx, tile_rows, width, chunk):
+    """In-VMEM gather rate: a [tile_rows, width] table tile stays resident
+    in VMEM; each grid step gathers `chunk` rows from it by index and
+    reduces.  This is the linchpin of a radix-partition + tile-stream
+    join probe: if Mosaic's VMEM gather runs at VPU-like rates, the join
+    beats the HBM row gather; if it serializes, the design is dead."""
+
+    def kernel(idx_ref, tbl_ref, out_ref):
+        rows = jnp.take(tbl_ref[:], idx_ref[:].reshape(-1), axis=0,
+                        indices_are_sorted=False, unique_indices=False)
+        out_ref[0, :, :] = jnp.full((8, 128), rows.sum(dtype=jnp.float32))
+
+    n_chunks = n_idx // chunk
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 8, chunk // 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, 8, 128), jnp.float32),
+        interpret=_interp(),
+    )
+
+
+def pallas_hbmstream(n_rows, width, blk):
+    """Sequential HBM read bandwidth through the auto-pipelined grid."""
+
+    def kernel(tbl_ref, out_ref):
+        out_ref[0, :, :] = jnp.full((8, 128),
+                                    tbl_ref[:].sum(dtype=jnp.float32))
+
+    n_blk = n_rows // blk
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blk,),
+        in_specs=[pl.BlockSpec((blk, width), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blk, 8, 128), jnp.float32),
+        interpret=_interp(),
+    )
+
+
+def pallas_dmaflush(n_dmas, rows_per_dma, width):
+    """Small-DMA issue rate: VMEM -> scattered HBM block writes through a
+    4-deep semaphore ring (the buffered-radix-scatter flush pattern).
+    Destination offsets come from a prefetched scalar array."""
+    DEPTH = 4
+
+    def kernel(dst_ref, buf_ref, out_hbm, sems):
+        i = pl.program_id(0)
+
+        def body(j, _):
+            @pl.when(j >= DEPTH)
+            def _w():
+                pltpu.make_async_copy(
+                    buf_ref.at[pl.ds((j - DEPTH) * rows_per_dma,
+                                     rows_per_dma)],
+                    out_hbm.at[pl.ds(dst_ref[i, j - DEPTH] * rows_per_dma,
+                                     rows_per_dma)],
+                    sems.at[j % DEPTH]).wait()
+
+            pltpu.make_async_copy(
+                buf_ref.at[pl.ds(j * rows_per_dma, rows_per_dma)],
+                out_hbm.at[pl.ds(dst_ref[i, j] * rows_per_dma,
+                                 rows_per_dma)],
+                sems.at[j % DEPTH]).start()
+            return 0
+
+        PER_PROG = dst_ref.shape[1]
+        jax.lax.fori_loop(0, PER_PROG, body, 0)
+
+        def tail(j, _):
+            pltpu.make_async_copy(
+                buf_ref.at[pl.ds((PER_PROG - DEPTH + j) * rows_per_dma,
+                                 rows_per_dma)],
+                out_hbm.at[pl.ds(dst_ref[i, PER_PROG - DEPTH + j]
+                                 * rows_per_dma, rows_per_dma)],
+                sems.at[j % DEPTH]).wait()
+            return 0
+
+        jax.lax.fori_loop(0, DEPTH, tail, 0)
+
+    PER_PROG = 256
+    n_progs = n_dmas // PER_PROG
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_progs,),
+        in_specs=[pl.BlockSpec((PER_PROG * rows_per_dma, width),
+                               lambda i, d: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((DEPTH,))],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_dmas * rows_per_dma, width),
+                                       jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interp(),
+    )
+
+
 def main():
     which = set(sys.argv[1:]) or {"xla111", "xla128", "xla32", "xla8",
                                   "pallas"}
+    if os.environ.get("EXP_PLATFORM"):   # e.g. cpu (pallas -> interpret)
+        jax.config.update("jax_platforms", os.environ["EXP_PLATFORM"])
     cache_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".bench_cache", "jax")
     os.makedirs(cache_dir, exist_ok=True)
@@ -604,6 +720,68 @@ def main():
             return c + rows[:, :4].sum(axis=(0, 1)).astype(jnp.float32)
 
         measure("pallas", pallas_fn, tbl, idx)
+
+    if any(e in which for e in ("xsort", "xargsort", "xsortpair")):
+        vals = jnp.asarray(rng.integers(0, 256, size=N_IDX, dtype=np.int64)
+                           .astype(np.int32))
+        if "xsort" in which:
+            measure("xsort", lambda c, v: c + jnp.sort(v)[::65536]
+                    .sum().astype(jnp.float32), vals)
+        if "xargsort" in which:
+            measure("xargsort", lambda c, v: c + jnp.argsort(v)[::65536]
+                    .sum().astype(jnp.float32), vals)
+        if "xsortpair" in which:
+            pay = jnp.asarray(rng.integers(0, 99, size=N_IDX, dtype=np.int64)
+                              .astype(np.int32))
+
+            def sortpair(c, k, v):
+                ks, vs = jax.lax.sort((k, v), num_keys=1)
+                return (c + ks[::65536].sum().astype(jnp.float32)
+                        + vs[::65536].sum().astype(jnp.float32))
+
+            measure("xsortpair", sortpair, vals, pay)
+
+    if "vgather" in which:
+        TILE_R, CH = 8192, 2048   # rows buffer 2048*128*4 = 1 MB VMEM
+        tile = jnp.asarray(rng.integers(0, 100, size=(TILE_R, 128),
+                                        dtype=np.int64).astype(np.int32))
+        vidx = jnp.asarray(
+            rng.integers(0, TILE_R, size=N_IDX // CH * CH, dtype=np.int64)
+            .astype(np.int32)).reshape(-1, 8, CH // 8)
+        vg = pallas_vgather(vidx.size, TILE_R, 128, CH)
+
+        def vg_fn(c, tile, vidx):
+            return c + vg(vidx + (c > 1e18).astype(jnp.int32),
+                          tile)[::16].sum()
+
+        measure("vgather", vg_fn, tile, vidx)
+
+    if "hbmstream" in which:
+        BLK = 2048
+        NR = N_ROWS // BLK * BLK
+        tbl = jnp.asarray(rng.integers(0, 3, size=(NR, 128), dtype=np.int64)
+                          .astype(np.int32))
+        hs = pallas_hbmstream(NR, 128, BLK)
+        gb = NR * 128 * 4 / 1e9
+        per = measure("hbmstream", lambda c, t: c + hs(t).sum(), tbl)
+        print(f"  -> {gb / per:.0f} GB/s sequential", flush=True)
+
+    if "dmaflush" in which:
+        N_DMAS, RPD = 32768, 8   # 8 rows x 128 lanes x 4 B = 4 KB per DMA
+        perm = rng.permutation(N_DMAS).astype(np.int32)
+        dst = jnp.asarray(perm.reshape(-1, 256))
+        buf = jnp.asarray(rng.integers(0, 100, size=(256 * RPD, 128),
+                                       dtype=np.int64).astype(np.int32))
+        df = pallas_dmaflush(N_DMAS, RPD, 128)
+
+        def df_fn(c, dst, buf):
+            out = df(dst, buf)
+            return c + out[::4096, :4].sum().astype(jnp.float32)
+
+        per = measure("dmaflush", df_fn, dst, buf)
+        print(f"  -> {per / N_DMAS * 1e9:.0f} ns/DMA "
+              f"({N_DMAS * RPD * 128 * 4 / 1e9 / per:.0f} GB/s)",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -193,8 +193,9 @@ def test_probe_compact_cap_retry(setup):
 
 
 def test_probe_layout_parity(setup):
-    """All three probe layouts (single-gather payload-wide, 2-gather
-    lo-wide, binary search) must produce identical probe outputs."""
+    """All four probe layouts (single-gather payload-wide, 2-gather
+    lo-wide, sub-bucket blocks, binary search) must produce identical
+    probe outputs."""
     import jax.numpy as jnp
     from close_kmers_tpu.core.engine import (DeviceDB, FastAnnotator,
                                              _probe_batch_jit)
@@ -203,17 +204,21 @@ def test_probe_layout_parity(setup):
     offsets, lengths = fa.pad_batch(seqs)
     o, l = jnp.asarray(offsets), jnp.asarray(lengths)
     outs = []
-    for kw in (dict(wide=False), dict(wide=True, wide_payload=False),
-               dict(wide=True, wide_payload=True)):
+    variants = (dict(wide=False, sub=False, wide_lo=False),   # bin search
+                dict(wide=False, sub=False, wide_lo=True),    # scale lo_wide
+                dict(wide=False, sub=True),                   # sub blocks
+                dict(wide=True, wide_payload=False),          # lo_wide
+                dict(wide=True, wide_payload=True))           # payload_wide
+    for kw in variants:
         d = DeviceDB.from_db(db, **kw)
         out = _probe_batch_jit(d.bucket_pair, d.lo, d.payload, d.n,
                                d.n_steps, o, l, d.lo_wide, d.payload_wide,
-                               d.wide_w)
+                               d.wide_w, d.sub_header, d.sub_blocks, d.sub_w)
         outs.append([np.asarray(x) for x in out])
-    assert outs[2][0].any()  # some hits exist
-    for k in range(5):
-        assert np.array_equal(outs[0][k], outs[1][k]), k
-        assert np.array_equal(outs[0][k], outs[2][k]), k
+    assert outs[0][0].any()  # some hits exist
+    for j in range(1, len(outs)):
+        for k in range(5):
+            assert np.array_equal(outs[0][k], outs[j][k]), (j, k)
 
 
 def test_encode_paths_parity(setup, monkeypatch):
