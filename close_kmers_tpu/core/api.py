@@ -340,13 +340,28 @@ class KmerEngine:
             pending.append((c_off, c_len, n, calls_dev, call_cap,
                             rows_dev, gcap))
 
+        # One grouped D2H for the whole request: the relay wire has a
+        # ~0.3-0.4 s per-transfer latency floor (PERF.md), so reading
+        # each chunk's two packs separately costs 4x per 2 chunks; a
+        # device-side concatenate makes it a single transfer.  Overflow
+        # retries (rare) fall back to per-chunk readbacks below.
+        import jax.numpy as jnp
+        flats = [x for p in pending for x in (p[3], p[5])]
+        joined = np.asarray(jnp.concatenate(flats)) if len(flats) > 1 \
+            else np.asarray(flats[0])
+        sizes = [int(x.shape[0]) for x in flats]
+        bounds = np.zeros(len(sizes) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=bounds[1:])
+        host = [joined[bounds[i]:bounds[i + 1]]
+                for i in range(len(sizes))]
+
         bests: list = []
         rolls = []
-        for offsets, lengths, n, calls_dev, call_cap, rows_dev, gcap \
-                in pending:
+        for ci, (offsets, lengths, n, calls_dev, call_cap, rows_dev, gcap) \
+                in enumerate(pending):
+            calls_np = host[2 * ci]
+            rows_np = host[2 * ci + 1]
             while True:
-                calls_np = np.asarray(calls_dev)
-                rows_np = np.asarray(rows_dev)
                 dense = DeviceScorer.unpack_dense(calls_np, B, call_cap)
                 roll = DeviceFamilyScorer.finish_rollup_global(
                     rows_np, B, gcap)
@@ -363,6 +378,8 @@ class KmerEngine:
                     getattr(dfs, "_bm_ccap", 1),
                     -getattr(dfs, "_bm_gps", 2) * B)
                 gcap = getattr(dfs, "_bm_gps", 2) * B
+                calls_np = np.asarray(calls_dev)
+                rows_np = np.asarray(rows_dev)
             n_calls, cs, ce, cc, cf, cw = dense
             nf, ofi, ocnt, owt = native.best_call_batch(n_calls, cs, ce,
                                                         cc, cf, cw)
