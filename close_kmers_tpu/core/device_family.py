@@ -190,13 +190,15 @@ def rollup_from_fams(fams, cap_seq: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cap_seq", "wide_w", "sub_w"))
+                   static_argnames=("cap_seq", "wide_w", "sub_w", "fused_w"))
 def _family_rollup_jit(bucket_pair, lo_arr, payload,
                        n, n_steps, fam_tab, offsets, lengths, cap_seq,
                        lo_wide=None, payload_wide=None, wide_w=0,
-                       sub_header=None, sub_blocks=None, sub_w=0):
+                       sub_header=None, sub_blocks=None, sub_w=0,
+                    fused_wide=None, fused_w=0):
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
-                   payload_wide, wide_w, sub_header, sub_blocks, sub_w)
+                   payload_wide, wide_w, sub_header, sub_blocks, sub_w,
+                   fused_wide, fused_w)
     hi, lo, valid = encode_windows(offsets, lengths)
     found, _fi, _oi, _av, _wt, idx = probe_windows(ddb, hi, lo, valid)
     fams = _gather_fams(fam_tab, idx)        # [B, W, D]
@@ -215,12 +217,13 @@ def _family_rollup_jit(bucket_pair, lo_arr, payload,
     jax.jit,
     static_argnames=("min_hits", "min_weighted_hits", "max_gap",
                      "order_constraint", "call_cap", "cap_seq", "wide_w",
-                     "sub_w"))
+                     "sub_w", "fused_w"))
 def _score_family_jit(bucket_pair, lo_arr, payload, n, n_steps, fam_tab,
                       offsets, lengths, min_hits, min_weighted_hits,
                       max_gap, order_constraint, call_cap, cap_seq,
                       lo_wide=None, payload_wide=None, wide_w=0,
-                      sub_header=None, sub_blocks=None, sub_w=0):
+                      sub_header=None, sub_blocks=None, sub_w=0,
+                    fused_wide=None, fused_w=0):
     """The family-serving program: ONE probe feeding both the scoring
     scan (packed CALL buffer, same layout as device_score._probe_score_jit)
     and the family rollup (packed rows).  /lookup?find_best_match=1 needs
@@ -228,7 +231,8 @@ def _score_family_jit(bucket_pair, lo_arr, payload, n, n_steps, fam_tab,
     from .device_score import _scan_score
 
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
-                   payload_wide, wide_w, sub_header, sub_blocks, sub_w)
+                   payload_wide, wide_w, sub_header, sub_blocks, sub_w,
+                   fused_wide, fused_w)
     hi, lo, valid = encode_windows(offsets, lengths)
     found, p_fi, _oi, p_av, p_wt, idx = probe_windows(ddb, hi, lo, valid)
 
@@ -287,7 +291,7 @@ class DeviceFamilyScorer:
             d.n_steps, self.fdb.fam,
             jnp.asarray(offsets), jnp.asarray(lengths), fams_per_seq_cap,
             d.lo_wide, d.payload_wide, d.wide_w, d.sub_header,
-            d.sub_blocks, d.sub_w)
+            d.sub_blocks, d.sub_w, d.fused_wide, d.fused_w)
         return out, fams_per_seq_cap
 
     @staticmethod
@@ -357,7 +361,7 @@ class DeviceFamilyScorer:
             params.min_hits, params.min_weighted_hits, params.max_gap,
             params.order_constraint, call_cap, fams_per_seq_cap,
             d.lo_wide, d.payload_wide, d.wide_w, d.sub_header,
-            d.sub_blocks, d.sub_w)
+            d.sub_blocks, d.sub_w, d.fused_wide, d.fused_w)
         return calls_out, call_cap, rows, fams_per_seq_cap
 
     def _rollup(self, offsets: np.ndarray, lengths: np.ndarray,

@@ -362,17 +362,19 @@ def _best_call_device(emit, c_cnt, c_fi, c_wt):
 @functools.partial(
     jax.jit,
     static_argnames=("min_hits", "min_weighted_hits", "max_gap",
-                     "order_constraint", "wide_w", "sub_w"))
+                     "order_constraint", "wide_w", "sub_w", "fused_w"))
 def _probe_best_jit(bucket_pair, lo_arr, payload,
                     n, n_steps, offsets, lengths,
                     min_hits, min_weighted_hits, max_gap, order_constraint,
                     lo_wide=None, payload_wide=None, wide_w=0,
-                    sub_header=None, sub_blocks=None, sub_w=0):
+                    sub_header=None, sub_blocks=None, sub_w=0,
+                    fused_wide=None, fused_w=0):
     """Fused probe + scan scoring + device find_best_call reductions.
     Output: one packed int32 buffer [B, 9] (wt fields bitcast; col 8 =
     overflow flag -> row needs the host fallback path)."""
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
-                   payload_wide, wide_w, sub_header, sub_blocks, sub_w)
+                   payload_wide, wide_w, sub_header, sub_blocks, sub_w,
+                   fused_wide, fused_w)
     hi, lo, valid = encode_windows(offsets, lengths)
     found, p_fi, p_oi, p_av, p_wt, _ = probe_windows(ddb, hi, lo, valid)
     emit, (c_start, c_end, c_cnt, c_fi, c_wt) = _scan_score(
@@ -391,15 +393,17 @@ def _probe_best_jit(bucket_pair, lo_arr, payload,
     jax.jit,
     static_argnames=("min_hits", "min_weighted_hits", "max_gap",
                      "order_constraint", "call_cap", "use_pallas", "L",
-                     "pack_mode", "wide_w", "sub_w"))
+                     "pack_mode", "wide_w", "sub_w", "fused_w"))
 def _probe_score_jit(bucket_pair, lo_arr, payload,
                      n, n_steps, offsets, lengths,
                      min_hits, min_weighted_hits, max_gap, order_constraint,
                      call_cap, use_pallas=False, L=0, lo_wide=None,
                      pack_mode=1, payload_wide=None, wide_w=0,
-                     sub_header=None, sub_blocks=None, sub_w=0):
+                     sub_header=None, sub_blocks=None, sub_w=0,
+                    fused_wide=None, fused_w=0):
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
-                   payload_wide, wide_w, sub_header, sub_blocks, sub_w)
+                   payload_wide, wide_w, sub_header, sub_blocks, sub_w,
+                   fused_wide, fused_w)
     if L:  # offsets arrive 5-bit packed; L = unpacked padded width
         if pack_mode == 2:   # planar i32 words (engine.pack_offsets_planar)
             from .engine import unpack_offsets_planar
@@ -474,7 +478,7 @@ class DeviceScorer:
             params.min_hits, params.min_weighted_hits, params.max_gap,
             params.order_constraint, cap, self.use_pallas, 0, d.lo_wide,
             1, d.payload_wide, d.wide_w, d.sub_header, d.sub_blocks,
-            d.sub_w)
+            d.sub_w, d.fused_wide, d.fused_w)
         out = np.asarray(out)
         n_calls = out[:B]
         pack = out[B:].reshape(5, cap)
@@ -533,7 +537,8 @@ class DeviceScorer:
             d.n_steps, jnp.asarray(offsets), jnp.asarray(lengths),
             params.min_hits, params.min_weighted_hits, params.max_gap,
             params.order_constraint, d.lo_wide, d.payload_wide, d.wide_w,
-            d.sub_header, d.sub_blocks, d.sub_w)
+            d.sub_header, d.sub_blocks, d.sub_w,
+            d.fused_wide, d.fused_w)
 
     @staticmethod
     def finish_best_batch(out_np: np.ndarray, function_of):
@@ -576,5 +581,6 @@ class DeviceScorer:
             params.min_hits, params.min_weighted_hits, params.max_gap,
             params.order_constraint, cap, self.use_pallas, packed_L,
             d.lo_wide, pack_mode, d.payload_wide, d.wide_w,
-            d.sub_header, d.sub_blocks, d.sub_w)
+            d.sub_header, d.sub_blocks, d.sub_w,
+            d.fused_wide, d.fused_w)
         return out, cap

@@ -115,9 +115,22 @@ class DeviceDB:
     # true per-block width (rows lane-padded like payload_wide; 0 =
     # unpadded, derive from shape)
     sub_w: int = 0
+    # Fused packed scale layout: rows [start | (fi<<13 | lo) x W |
+    # wt-bits x W | sentinel pad].  fi and wt come out of the SAME
+    # gather, so the [N+1, 4] payload gather exists only for oi/avg_off
+    # consumers (XLA DCEs it per-jit when those planes are unused — the
+    # family, fq and best-call paths).  Requires n_functions < 2^18
+    # (lo < 8000 fits 13 bits).  Preferred over lo_wide at the scale
+    # tier: one gather instead of two on the hot paths.
+    fused_wide: jax.Array | None = None   # i32[HI_CARD, lane_pad(1+2W)]
+    fused_w: int = 0
+
+    FUSED_LO_BITS = 13
+    FUSED_SENTINEL = (1 << 30) | 0x1FFF   # low 13 bits never match a lo
 
     WIDE_BUCKET_MAX = 32  # memory/time tradeoff bound (HI_CARD*W*4 bytes)
     WIDE_PAYLOAD_MAX_BYTES = 2 << 30
+    FUSED_MAX_BYTES = 4 << 30
     SUB = 16              # sub-buckets per bucket (power of two)
     SUB_BUCKET_MAX = 256  # max entries per sub-bucket (block row width)
     SUB_MAX_BYTES = 4 << 30
@@ -134,7 +147,8 @@ class DeviceDB:
                 wide: bool | None = None,
                 wide_payload: bool | None = None,
                 sub: bool | None = None,
-                wide_lo: bool | None = None) -> "DeviceDB":
+                wide_lo: bool | None = None,
+                fused: bool | None = None) -> "DeviceDB":
         put = functools.partial(jax.device_put, device=device)
         n_steps = max(1, math.ceil(math.log2(db.max_bucket + 1))) if len(db) else 1
         n = len(db)
@@ -173,11 +187,34 @@ class DeviceDB:
             payload_wide = put(jnp.asarray(pw))
             wide_w = WIDE
 
+        fused_wide = None
+        fused_w = 0
+        fi_max = int(db.fi.max()) if n else 0
+        if fused is None:
+            fused = (fi_max < (1 << (31 - cls.FUSED_LO_BITS))
+                     and H * _lane_pad(1 + 2 * WIDE) * 4
+                     <= cls.FUSED_MAX_BYTES)
+        if payload_wide is None and n and fused:
+            # fused packed rows (see the dataclass comment): one flat
+            # scatter builds both planes.
+            row_w = _lane_pad(1 + 2 * WIDE)
+            fw = np.full(H * row_w, cls.FUSED_SENTINEL, dtype=np.int32)
+            fw[::row_w][:H] = starts
+            rank = np.arange(n, dtype=np.int64) \
+                - db.bucket_start[db.hi].astype(np.int64)
+            rows_f = db.hi.astype(np.int64) * row_w
+            fw[rows_f + 1 + rank] = \
+                (db.fi.astype(np.int64) << cls.FUSED_LO_BITS) | db.lo
+            fw[rows_f + 1 + WIDE + rank] = db.wt.view(np.int32)
+            fused_wide = put(jnp.asarray(fw.reshape(H, row_w)))
+            fused_w = WIDE
+            del fw
+
         sub_header = sub_blocks = None
         sub_w = 0
         if sub is None:
             sub = not wide and n > 0
-        if sub and not wide and n:
+        if sub and not wide and n and fused_wide is None:
             from ..params import LO_CARD
             shift = (LO_CARD - 1).bit_length() - (cls.SUB.bit_length() - 1)
             skey = db.hi.astype(np.int64) * cls.SUB + (db.lo >> shift)
@@ -209,7 +246,8 @@ class DeviceDB:
         if wide_lo is None:
             wide_lo = (wide or
                        H * _lane_pad(1 + WIDE) * 4 <= cls.LO_WIDE_MAX_BYTES)
-        if payload_wide is None and sub_blocks is None and n and wide_lo:
+        if (payload_wide is None and sub_blocks is None and n and wide_lo
+                and fused_wide is None):
             # lo-only wide rows [start, sentinel-padded lo plane]: the
             # small-DB wide tier when payload_wide is byte-gated, and the
             # scale tier when sub blocks are byte-gated.  Built with one
@@ -229,7 +267,7 @@ class DeviceDB:
         # ~4.2 GB of HBM + transfer.  Dummies keep the jit signatures and
         # the miss-row convention (idx = n) intact.
         has_layout = (payload_wide is not None or sub_blocks is not None
-                      or lo_wide is not None)
+                      or lo_wide is not None or fused_wide is not None)
         if has_layout:
             pair = pair[:0]
             lo = lo[:1]
@@ -241,6 +279,8 @@ class DeviceDB:
             payload=put(jnp.asarray(payload)),
             n_steps=n_steps,
             n=n,
+            fused_wide=fused_wide,
+            fused_w=fused_w,
             lo_wide=lo_wide,
             payload_wide=payload_wide,
             wide_w=wide_w,
@@ -476,6 +516,38 @@ def probe_windows(ddb: DeviceDB, hi, lo, valid):
     hi_c = jnp.where(valid, hi, 0)
     lo_c = jnp.where(valid, lo, -2)
 
+    if ddb.fused_wide is not None:
+        # Fused packed probe: ONE row gather yields found, fi, wt and the
+        # matched row index; oi/avg_off come from a payload gather that
+        # XLA dead-code-eliminates whenever the caller ignores those
+        # planes (family/fq/best-call paths).  lo_c = -2 maps to low bits
+        # 8190 and the sentinel's to 8191, neither a valid lo (< 8000).
+        sh = hi_c.shape
+        hif, lof, nflat = _pad_flat_probes(hi_c.reshape(-1),
+                                           lo_c.reshape(-1))
+        row = ddb.fused_wide[hif]              # [N, 1 + 2W (+ pad)]
+        Wd = ddb.fused_w
+        left = row[:, 0]
+        packed = row[:, 1:1 + Wd]
+        match = (packed & ((1 << DeviceDB.FUSED_LO_BITS) - 1)) \
+            == (lof[:, None] & ((1 << DeviceDB.FUSED_LO_BITS) - 1))
+        foundf = match.any(axis=-1)
+        m = match.astype(jnp.int32)
+        fif = (packed * m).sum(axis=-1) >> DeviceDB.FUSED_LO_BITS
+        wtbits = (row[:, 1 + Wd:1 + 2 * Wd] * m).sum(axis=-1)
+        pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
+        idxf = left + pos
+        foundf, fif, wtbits, idxf = _unpad_sel(
+            (foundf, fif, wtbits, idxf), nflat)
+        found = valid & foundf.reshape(sh)
+        fi = jnp.where(found, fif.reshape(sh), -1)
+        idx = jnp.where(found, idxf.reshape(sh), ddb.n)
+        wt = jax.lax.bitcast_convert_type(
+            jnp.where(found, wtbits.reshape(sh), 0), jnp.float32)
+        pay = ddb.payload[idx]                 # DCE'd when oi/avg unused
+        oi = jnp.where(found, pay[..., 1], -1)
+        return (found, fi, oi, pay[..., 2], wt, idx)
+
     if ddb.payload_wide is not None:
         # Single-gather probe: the row holds [start, lo plane, fi plane,
         # oi plane, avg_off plane, wt-bits plane].  DB keys are unique so
@@ -550,12 +622,14 @@ def probe_windows(ddb: DeviceDB, hi, lo, valid):
     return (found, row[..., 0], row[..., 1], row[..., 2], wt, idx)
 
 
-@functools.partial(jax.jit, static_argnames=("wide_w", "sub_w"))
+@functools.partial(jax.jit, static_argnames=("wide_w", "sub_w", "fused_w"))
 def _probe_batch_jit(bucket_pair, lo_arr, payload, n, n_steps,
                      offsets, lengths, lo_wide=None, payload_wide=None,
-                     wide_w=0, sub_header=None, sub_blocks=None, sub_w=0):
+                     wide_w=0, sub_header=None, sub_blocks=None, sub_w=0,
+                    fused_wide=None, fused_w=0):
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
-                   payload_wide, wide_w, sub_header, sub_blocks, sub_w)
+                   payload_wide, wide_w, sub_header, sub_blocks, sub_w,
+                   fused_wide, fused_w)
     hi, lo, valid = encode_windows(offsets, lengths)
     return probe_windows(ddb, hi, lo, valid)[:5]
 
@@ -582,7 +656,8 @@ class TpuEngine:
         out = _probe_batch_jit(d.bucket_pair, d.lo, d.payload, d.n, d.n_steps,
                                jnp.asarray(offsets), jnp.asarray(lengths),
                                d.lo_wide, d.payload_wide, d.wide_w,
-                               d.sub_header, d.sub_blocks, d.sub_w)
+                               d.sub_header, d.sub_blocks, d.sub_w,
+            d.fused_wide, d.fused_w)
         return tuple(np.asarray(x) for x in out)
 
     def hits_of_batch(self, seqs: list[str], pad_to: int | None = None):
@@ -690,7 +765,8 @@ class FastAnnotator:
                 d.bucket_pair, d.lo, d.payload, d.n, d.n_steps,
                 jnp.asarray(offsets), jnp.asarray(lengths), cap, d.lo_wide,
                 d.payload_wide, d.wide_w, want_code, want_oi, want_avg,
-                d.sub_header, d.sub_blocks, d.sub_w))
+                d.sub_header, d.sub_blocks, d.sub_w,
+            d.fused_wide, d.fused_w))
             n_hits = out[:B]
             total = int(n_hits.sum())
             if total <= cap or cap >= max_cap:
@@ -776,12 +852,14 @@ def finish_best_call(n_funcs: int, fi3, cnt3, wt3, function_of) -> O.BestCall:
 
 @functools.partial(jax.jit,
                    static_argnames=("hit_cap", "wide_w", "want_code",
-                                    "want_oi", "want_avg", "sub_w"))
+                                    "want_oi", "want_avg", "sub_w",
+                                    "fused_w"))
 def _probe_compact_jit(bucket_pair, lo_arr, payload, n, n_steps,
                        offsets, lengths, hit_cap, lo_wide=None,
                        payload_wide=None, wide_w=0, want_code=True,
                        want_oi=True, want_avg=True,
-                       sub_header=None, sub_blocks=None, sub_w=0):
+                       sub_header=None, sub_blocks=None, sub_w=0,
+                    fused_wide=None, fused_w=0):
     """Fused probe + on-device hit compaction: hits left-pack into an
     [n_planes, hit_cap] buffer (pos, fi, [oi], [avg_off], wt-bits,
     [hi, lo]) in row-major (= per-sequence, position-ordered) order,
@@ -790,7 +868,8 @@ def _probe_compact_jit(bucket_pair, lo_arr, payload, n, n_steps,
     serving-path analogue of the compact CALL download (through a slow
     host link the raw grids dominate end-to-end time; see PERF.md)."""
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
-                   payload_wide, wide_w, sub_header, sub_blocks, sub_w)
+                   payload_wide, wide_w, sub_header, sub_blocks, sub_w,
+                   fused_wide, fused_w)
     hi, lo, valid = encode_windows(offsets, lengths)
     found, fi, oi, avg_off, wt, _ = probe_windows(ddb, hi, lo, valid)
     B, W = found.shape

@@ -104,7 +104,8 @@ def one_round(seed: int) -> int:
     )
 
     eng = TpuEngine(db)
-    mode = ("sub" if eng.ddb.sub_blocks is not None else
+    mode = ("fused" if eng.ddb.fused_wide is not None else
+            "sub" if eng.ddb.sub_blocks is not None else
             "wide" if eng.ddb.payload_wide is not None else "bin")
     fa = FastAnnotator(db)
     ds = DeviceScorer(db)

@@ -167,9 +167,13 @@ def pallas_vgather(n_idx, tile_rows, width, chunk):
     join probe: if Mosaic's VMEM gather runs at VPU-like rates, the join
     beats the HBM row gather; if it serializes, the design is dead."""
 
+    assert chunk == tile_rows, "Mosaic dynamic_gather needs idx == rows"
+
     def kernel(idx_ref, tbl_ref, out_ref):
-        rows = jnp.take(tbl_ref[:], idx_ref[:].reshape(-1), axis=0,
-                        indices_are_sorted=False, unique_indices=False)
+        idx2 = jnp.broadcast_to(idx_ref[:].reshape(-1, 1),
+                                (tile_rows, width))
+        rows = jnp.take_along_axis(tbl_ref[:], idx2, axis=0,
+                                   mode="promise_in_bounds")
         out_ref[0, :, :] = jnp.full((8, 128), rows.sum(dtype=jnp.float32))
 
     n_chunks = n_idx // chunk
@@ -307,6 +311,43 @@ def main():
             .astype(np.int32))
         measure(name, functools.partial(probe_select, WD), tbl, idx, lo_q)
         del tbl
+
+    if any(e in which for e in ("probe_fused64", "probe_fused128")):
+        # fused packed rows at bench-DB depth (WD=22): [start |
+        # (fi<<13|lo) x 22 | wt x 22] = 45 ints, padded to 64 or 128
+        # lanes.  vs probe128 (payload-wide selection, 24.1 ms).
+        for name, width in (("probe_fused64", 64), ("probe_fused128", 128)):
+            if name not in which:
+                continue
+            tblf = np.full((N_ROWS, width), (1 << 30) | 0x1FFF,
+                           dtype=np.int32)
+            tblf[:, 0] = rng.integers(0, 100, size=N_ROWS)
+            tblf[:, 1:1 + WD] = (
+                rng.integers(0, 2000, size=(N_ROWS, WD)) << 13) \
+                | rng.integers(0, 100, size=(N_ROWS, WD))
+            tblf[:, 1 + WD:1 + 2 * WD] = rng.integers(
+                0, 2 ** 20, size=(N_ROWS, WD))
+            tblf_j = jnp.asarray(tblf)
+            del tblf
+
+            def fused_sel(c, table, idx, lo_q):
+                row = table[idx]
+                left = row[:, 0]
+                packed = row[:, 1:1 + WD]
+                match = (packed & 0x1FFF) == lo_q[:, None]
+                found = match.any(axis=-1)
+                m = match.astype(jnp.int32)
+                fi = jnp.where(found, (packed * m).sum(axis=-1) >> 13, -1)
+                wtb = (row[:, 1 + WD:1 + 2 * WD] * m).sum(axis=-1)
+                wt = jax.lax.bitcast_convert_type(wtb, jnp.float32)
+                pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
+                idx2 = jnp.where(found, left + pos, 0)
+                return (c + fi.sum().astype(jnp.float32)
+                        + jnp.where(found, wt, 0).sum()
+                        + idx2.sum().astype(jnp.float32))
+
+            measure(name, fused_sel, tblf_j, idx, lo_q)
+            del tblf_j
 
     if "probe128b" in which:
         # reshape-based selection: one [N, 5, W] masked reduce instead of
@@ -530,6 +571,48 @@ def main():
 
             measure("scale_wide", wide_probe, lw_j, payload, q_hi, q_lo)
             del lw_j
+        if "scale_fused" in which:
+            # fused packed rows: [start | (fi<<13|lo) x max_b | wt x max_b]
+            # padded to a 128 multiple — fi and wt come out of the SAME
+            # gather, so the [n+1, 4] payload gather disappears whenever
+            # oi/avg_off are unused (family//fq//best-call paths).
+            from close_kmers_tpu.core.engine import _lane_pad
+            row_w = _lane_pad(1 + 2 * max_b)
+            # sentinel low 13 bits = 8191 >= LO_CARD: never matches a lo
+            fw = np.full((H, row_w), (1 << 30) | 0x1FFF, dtype=np.int32)
+            fw[:, 0] = bucket_start[:-1]
+            fis = rng.integers(0, 2000, size=n, dtype=np.int64) \
+                .astype(np.int32)
+            wts = rng.uniform(0.1, 4.0, size=n).astype(np.float32) \
+                .view(np.int32)
+            rank = np.arange(n, dtype=np.int64) - np.repeat(
+                bucket_start[:-1], bucket_cnt)
+            rows_f = np.repeat(np.arange(H, dtype=np.int64), bucket_cnt)
+            flat = fw.reshape(-1)
+            flat[rows_f * row_w + 1 + rank] = (fis << 13) | los
+            flat[rows_f * row_w + 1 + max_b + rank] = wts
+            fw_j = jnp.asarray(flat.reshape(H, row_w))
+            del fw, flat
+
+            def fused_probe(c, fw_t, hi_q, lo_q):
+                row = fw_t[hi_q]
+                left = row[:, 0]
+                packed = row[:, 1:1 + max_b]
+                match = (packed & 0x1FFF) == lo_q[:, None]
+                found = match.any(axis=-1)
+                m = match.astype(jnp.int32)
+                fi = jnp.where(found, (packed * m).sum(axis=-1) >> 13, -1)
+                wtb = (row[:, 1 + max_b:1 + 2 * max_b] * m).sum(axis=-1)
+                wt = jax.lax.bitcast_convert_type(wtb, jnp.float32)
+                pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
+                idx2 = jnp.where(found, left + pos, n)
+                return (c + found.sum().astype(jnp.float32)
+                        + fi.sum().astype(jnp.float32)
+                        + jnp.where(found, wt, 0).sum()
+                        + idx2.sum().astype(jnp.float32))
+
+            measure("scale_fused", fused_probe, fw_j, q_hi, q_lo)
+            del fw_j
         if "scale_pay" in which:
             # isolated narrow payload gather from the 208M-row table
             ridx = jnp.asarray(rng.integers(0, n, size=N_IDX,
@@ -741,8 +824,45 @@ def main():
 
             measure("xsortpair", sortpair, vals, pay)
 
+    if "xla128s" in which:
+        # the raw width-128 gather with SORTED indices: does XLA/the HW
+        # coalesce adjacent-row accesses?  Decides the sorted-probe design.
+        tbl = jnp.asarray(
+            rng.integers(0, 100, size=(N_ROWS, 128), dtype=np.int64)
+            .astype(np.int32))
+        sidx = jnp.sort(idx)
+        measure("xla128s", xla_gather, tbl, sidx)
+        measure("xla128u", xla_gather, tbl, idx)   # unsorted control
+        del tbl
+
+    if "xsort3" in which:
+        # variadic sort (key + 2 payloads): the unsort step of a
+        # sorted-probe pipeline restores all output planes in one op.
+        a = jnp.asarray(rng.integers(0, N_ROWS, size=N_IDX, dtype=np.int64)
+                        .astype(np.int32))
+        b = jnp.asarray(rng.integers(0, 99, size=N_IDX, dtype=np.int64)
+                        .astype(np.int32))
+        d = jnp.asarray(rng.integers(0, 99, size=N_IDX, dtype=np.int64)
+                        .astype(np.int32))
+
+        def sort3(c, k, v1, v2):
+            ks, v1s, v2s = jax.lax.sort((k, v1, v2), num_keys=1)
+            return (c + ks[::65536].sum().astype(jnp.float32)
+                    + v1s[::65536].sum().astype(jnp.float32)
+                    + v2s[::65536].sum().astype(jnp.float32))
+
+        measure("xsort3", sort3, a, b, d)
+
+        def sort6(c, k, v1, v2):
+            ops = (k, v1, v2, v2, v1, k)
+            outs = jax.lax.sort(ops, num_keys=1)
+            return c + sum(o[::65536].sum().astype(jnp.float32)
+                           for o in outs)
+
+        measure("xsort6", sort6, a, b, d)
+
     if "vgather" in which:
-        TILE_R, CH = 8192, 2048   # rows buffer 2048*128*4 = 1 MB VMEM
+        TILE_R = CH = 2048   # rows buffer 2048*128*4 = 1 MB VMEM
         tile = jnp.asarray(rng.integers(0, 100, size=(TILE_R, 128),
                                         dtype=np.int64).astype(np.int32))
         vidx = jnp.asarray(

@@ -163,7 +163,7 @@ def test_device_rollup_sub_bucket_layout(setup):
     db, seqs, mapping = setup
     dfs_wide = DeviceFamilyScorer(db, mapping)
     assert dfs_wide.ddb.payload_wide is not None
-    ddb_sub = DeviceDB.from_db(db, wide=False)
+    ddb_sub = DeviceDB.from_db(db, wide=False, fused=False)
     assert ddb_sub.sub_blocks is not None
     dfs_sub = DeviceFamilyScorer(db, mapping, ddb=ddb_sub)
 

@@ -204,16 +204,19 @@ def test_probe_layout_parity(setup):
     offsets, lengths = fa.pad_batch(seqs)
     o, l = jnp.asarray(offsets), jnp.asarray(lengths)
     outs = []
-    variants = (dict(wide=False, sub=False, wide_lo=False),   # bin search
-                dict(wide=False, sub=False, wide_lo=True),    # scale lo_wide
-                dict(wide=False, sub=True),                   # sub blocks
-                dict(wide=True, wide_payload=False),          # lo_wide
-                dict(wide=True, wide_payload=True))           # payload_wide
+    variants = (
+        dict(wide=False, sub=False, wide_lo=False, fused=False),  # bin
+        dict(wide=False, sub=False, fused=False),     # scale lo_wide
+        dict(wide=False, sub=False),                  # fused packed rows
+        dict(wide=False, sub=True, fused=False),      # sub blocks
+        dict(wide=True, wide_payload=False, fused=False),  # lo_wide
+        dict(wide=True, wide_payload=True))           # payload_wide
     for kw in variants:
         d = DeviceDB.from_db(db, **kw)
         out = _probe_batch_jit(d.bucket_pair, d.lo, d.payload, d.n,
                                d.n_steps, o, l, d.lo_wide, d.payload_wide,
-                               d.wide_w, d.sub_header, d.sub_blocks, d.sub_w)
+                               d.wide_w, d.sub_header, d.sub_blocks, d.sub_w,
+                               d.fused_wide, d.fused_w)
         outs.append([np.asarray(x) for x in out])
     assert outs[0][0].any()  # some hits exist
     for j in range(1, len(outs)):
