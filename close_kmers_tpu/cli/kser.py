@@ -184,6 +184,14 @@ class _EngineNrAdapter:
                         for k in range(a, b)])
         return out
 
+    def hit_codes_of_batch(self, seqs):
+        """Array-native bulk path for load_nr: compact probe, code plane
+        only — no per-hit objects."""
+        fa = self.engine.fa
+        h = fa.probe_compact(*fa.pad_batch(seqs), want_oi=False,
+                             want_avg=False)
+        return h["row_off"], h["code"]
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="kser",

@@ -634,6 +634,17 @@ def _probe_batch_jit(bucket_pair, lo_arr, payload, n, n_steps,
     return probe_windows(ddb, hi, lo, valid)[:5]
 
 
+def _hit_codes(found: np.ndarray, offsets: np.ndarray):
+    """Vectorized (batch_idx, pos, kmer_code) extraction from a probe's
+    found plane: Horner re-encode over the K window bytes for hit
+    positions only (replaces the per-hit Python K-loop)."""
+    bi, pos = np.nonzero(found)
+    codes = np.zeros(len(pos), dtype=np.int64)
+    for j in range(K):
+        codes = codes * 20 + offsets[bi, pos + j]
+    return bi, pos, codes
+
+
 class TpuEngine:
     """Single-chip batch annotation engine.
 
@@ -678,20 +689,29 @@ class TpuEngine:
             offsets[i, :len(o)] = o
             lengths[i] = len(o)
         found, fi, oi, avg_off, wt = self.probe_padded(offsets, lengths)
+        bi, pos, codes = _hit_codes(found, offsets)
+        bounds = np.searchsorted(bi, np.arange(B + 1))
         out = []
         for i in range(B):
-            pos = np.nonzero(found[i])[0]
-            hits = []
-            for p in pos:
-                p = int(p)
-                code = 0
-                for j in range(K):
-                    code = code * 20 + int(offsets[i, p + j])
-                hits.append(O.Hit(oI=int(oi[i, p]), pos=p,
-                                  avg_off=int(avg_off[i, p]), fI=int(fi[i, p]),
-                                  wt=float(wt[i, p]), code=code))
-            out.append(hits)
+            out.append([O.Hit(oI=int(oi[i, p]), pos=int(p),
+                              avg_off=int(avg_off[i, p]), fI=int(fi[i, p]),
+                              wt=float(wt[i, p]), code=int(c))
+                        for p, c in zip(pos[bounds[i]:bounds[i + 1]],
+                                        codes[bounds[i]:bounds[i + 1]])])
         return out
+
+    def hit_codes_of_batch(self, seqs: list[str]):
+        """Array-native hit extraction for bulk ingest (the NR preload,
+        nr_loader.cc:160-183): returns (row_off int64[B+1], codes
+        int64[n_hits]) without building any per-hit Python objects."""
+        B = len(seqs)
+        if B == 0:
+            return np.zeros(1, np.int64), np.zeros(0, np.int64)
+        offsets, lengths = FastAnnotator.pad_batch(self, seqs)
+        found = self.probe_padded(offsets, lengths)[0]
+        bi, _pos, codes = _hit_codes(found, offsets)
+        row_off = np.searchsorted(bi, np.arange(B + 1)).astype(np.int64)
+        return row_off, codes
 
     def process_batch(self, items: list[tuple[str, str]],
                       params: EngineParams | None = None,

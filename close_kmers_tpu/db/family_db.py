@@ -56,6 +56,13 @@ class KmerFamilyMapping:
         # build-phase maps; finalized into CSR
         self._kmer_to_fams: dict[int, list[int]] = {}
         self._kmer_to_pegs: dict[int, list[int]] = {}
+        # Bulk kmer->family CSR from load_nr (keys i64 sorted unique,
+        # offs i64, vals i32).  The dict above is the incremental /add
+        # delta on top of it; fam_csr() merges the two.  TPU-native
+        # replacement for the NRLoader/KmerInserter insert machinery
+        # (nr_loader.cc:160-183): the NR scan yields flat (code, fam)
+        # arrays which sort/group directly — no per-hit dict work.
+        self._bulk_fam = None
         self._fam_csr = None
         self._peg_csr = None
         self._meta_arrays = None
@@ -159,7 +166,15 @@ class KmerFamilyMapping:
     # -- kmer mapping inserts ----------------------------------------------
 
     def add_fam_mapping(self, fam_id: int, kmer: int) -> None:
-        """Deduped, insertion-ordered (kmer.cc:216-230,244-268)."""
+        """Deduped, insertion-ordered (kmer.cc:216-230,244-268).  The
+        bulk CSR counts as already-present: /add of a pair the NR preload
+        ingested is a no-op, like the reference's set-semantics map."""
+        if self._bulk_fam is not None:
+            keys, offs, vals = self._bulk_fam
+            i = np.searchsorted(keys, kmer)
+            if i < len(keys) and keys[i] == kmer \
+                    and fam_id in vals[offs[i]:offs[i + 1]]:
+                return
         lst = self._kmer_to_fams.get(kmer)
         if lst is None:
             self._kmer_to_fams[kmer] = [fam_id]
@@ -172,31 +187,80 @@ class KmerFamilyMapping:
         self._kmer_to_pegs.setdefault(kmer, []).append(peg_id)
         self._peg_csr = None
 
-    def load_nr(self, nr_path: str, engine, batch_size: int = 512) -> int:
+    def load_nr(self, nr_path: str, engine, batch_size: int = 4096) -> int:
         """Preload kmer→family mappings from a families NR FASTA
         (nr_loader.cc:131-186): for each protein with a known family,
         every signature-kmer hit maps that kmer to the family.
 
-        ``engine`` must expose hits_of_batch(list[str]) (TpuEngine or a
-        host fallback).  Returns number of proteins processed.
+        Array-native: the engine's vectorized hit extraction
+        (``hit_codes_of_batch``, falling back to hits_of_batch) yields
+        flat (code, fam) pairs per batch; one global sort/dedup builds
+        the bulk CSR — no per-hit Python, unlike the reference's
+        per-pair concurrent-map inserts.  Returns proteins processed.
         """
         from ..io.fasta import parse_fasta_file
 
         seqs = list(parse_fasta_file(nr_path))
         n_done = 0
+        code_parts: list[np.ndarray] = []
+        fam_parts: list[np.ndarray] = []
+        get_codes = getattr(engine, "hit_codes_of_batch", None)
         for i in range(0, len(seqs), batch_size):
             chunk = seqs[i:i + batch_size]
-            hit_lists = engine.hits_of_batch([s for _, _, s in chunk])
-            for (sid, _, _), hits in zip(chunk, hit_lists):
-                pid = self.encode_peg(sid)
-                fam_id = self.peg_to_family.get(pid)
+            if get_codes is not None:
+                row_off, codes = get_codes([s for _, _, s in chunk])
+            else:
+                hit_lists = engine.hits_of_batch([s for _, _, s in chunk])
+                row_off = np.zeros(len(chunk) + 1, dtype=np.int64)
+                np.cumsum([len(h) for h in hit_lists], out=row_off[1:])
+                codes = np.array([h.code for hits in hit_lists
+                                  for h in hits], dtype=np.int64)
+            fams = np.full(len(chunk), -1, dtype=np.int32)
+            for j, (sid, _, _) in enumerate(chunk):
+                fam_id = self.peg_to_family.get(self.encode_peg(sid))
                 if fam_id is None:
-                    # NO FAM FOR id (nr_loader.cc:152-158): skip.
-                    continue
-                for h in hits:
-                    self.add_fam_mapping(fam_id, h.code)
+                    continue      # NO FAM FOR id (nr_loader.cc:152-158)
+                fams[j] = fam_id
                 n_done += 1
+            per_seq = np.diff(row_off)
+            fam_per_hit = np.repeat(fams, per_seq)
+            keep = fam_per_hit >= 0
+            code_parts.append(codes[keep])
+            fam_parts.append(fam_per_hit[keep])
+        self._ingest_bulk_fam(np.concatenate(code_parts) if code_parts
+                              else np.zeros(0, np.int64),
+                              np.concatenate(fam_parts) if fam_parts
+                              else np.zeros(0, np.int32))
         return n_done
+
+    def _ingest_bulk_fam(self, codes: np.ndarray, fams: np.ndarray) -> None:
+        """Merge flat (code, fam) pairs into the bulk CSR: dedup keeps
+        the FIRST occurrence and within-kmer family order is by first
+        occurrence (matching add_fam_mapping's insertion-order list)."""
+        if self._bulk_fam is not None:
+            bk, bo, bv = self._bulk_fam
+            codes = np.concatenate([np.repeat(bk, np.diff(bo)), codes])
+            fams = np.concatenate([bv, fams.astype(np.int32)])
+        if len(codes) == 0:
+            return
+        occ = np.arange(len(codes), dtype=np.int64)
+        order = np.lexsort((occ, fams, codes))
+        first = np.ones(len(order), dtype=bool)
+        cs, fs = codes[order], fams[order]
+        first[1:] = (cs[1:] != cs[:-1]) | (fs[1:] != fs[:-1])
+        kept = order[first]
+        kept.sort()                      # back to first-occurrence order
+        codes, fams = codes[kept], fams[kept]
+        order = np.lexsort((np.arange(len(codes)), codes))  # stable group
+        codes, fams = codes[order], fams[order]
+        new_key = np.ones(len(codes), dtype=bool)
+        new_key[1:] = codes[1:] != codes[:-1]
+        keys = codes[new_key]
+        offs = np.zeros(len(keys) + 1, dtype=np.int64)
+        offs[1:] = np.cumsum(np.bincount(
+            np.cumsum(new_key) - 1, minlength=len(keys)))
+        self._bulk_fam = (keys, offs, fams.astype(np.int32))
+        self._fam_csr = None
 
     # -- CSR finalization & lookup ------------------------------------------
 
@@ -215,7 +279,27 @@ class KmerFamilyMapping:
 
     def fam_csr(self):
         if self._fam_csr is None:
-            self._fam_csr = self._to_csr(self._kmer_to_fams)
+            delta = self._to_csr(self._kmer_to_fams)
+            if self._bulk_fam is None:
+                self._fam_csr = delta
+            elif len(delta[0]) == 0:
+                self._fam_csr = self._bulk_fam
+            else:
+                bk, bo, bv = self._bulk_fam
+                dk, do, dv = delta
+                codes = np.concatenate([np.repeat(bk, np.diff(bo)),
+                                        np.repeat(dk, np.diff(do))])
+                fams = np.concatenate([bv, dv])
+                # stable by code: bulk entries precede delta appends
+                order = np.lexsort((np.arange(len(codes)), codes))
+                codes, fams = codes[order], fams[order]
+                new_key = np.ones(len(codes), dtype=bool)
+                new_key[1:] = codes[1:] != codes[:-1]
+                keys = codes[new_key]
+                offs = np.zeros(len(keys) + 1, dtype=np.int64)
+                offs[1:] = np.cumsum(np.bincount(
+                    np.cumsum(new_key) - 1, minlength=len(keys)))
+                self._fam_csr = (keys, offs, fams)
         return self._fam_csr
 
     def peg_csr(self):
@@ -224,8 +308,14 @@ class KmerFamilyMapping:
         return self._peg_csr
 
     def families_of_kmer(self, kmer: int) -> list[int]:
+        out: list[int] = []
+        if self._bulk_fam is not None:
+            keys, offs, vals = self._bulk_fam
+            i = int(np.searchsorted(keys, kmer))
+            if i < len(keys) and keys[i] == kmer:
+                out = [int(v) for v in vals[offs[i]:offs[i + 1]]]
         lst = self._kmer_to_fams.get(kmer)
-        return lst if lst is not None else []
+        return out + lst if lst is not None else out
 
     def pegs_of_kmer(self, kmer: int) -> list[int]:
         lst = self._kmer_to_pegs.get(kmer)
@@ -237,10 +327,13 @@ class KmerFamilyMapping:
         plus ``pgf plf function`` columns when exactly one family."""
         from ..ops.encoder import decode_kmer
 
-        for code, fams in self._kmer_to_fams.items():
+        keys, offs, vals = self.fam_csr()
+        for i in range(len(keys)):
+            code = int(keys[i])
+            fams = vals[offs[i]:offs[i + 1]]
             os_.write(f"{decode_kmer(code)}\t{code}\t{len(fams)}")
             if len(fams) == 1:
-                fd = self.families[fams[0]]
+                fd = self.families[int(fams[0])]
                 os_.write(f"\t{fd.pgf}\t{fd.plf}\t{fd.function}")
             os_.write("\n")
 
@@ -250,7 +343,7 @@ class KmerFamilyMapping:
             f"kmer_to_id_: size={len(self._kmer_to_pegs)}",
             f"kmer_to_id_: content size={sum(len(v) for v in self._kmer_to_pegs.values())}",
             f"peg_to_id_: size={len(self.peg_to_id)}",
-            f"kmer_to_family_id_: size={len(self._kmer_to_fams)}",
+            f"kmer_to_family_id_: size={len(self.fam_csr()[0])}",
             f"family_data_: size={len(self.families)}",
         ]
         return "\n".join(lines) + "\n"

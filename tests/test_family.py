@@ -94,6 +94,29 @@ def test_kmer_family_map_dedup(universe):
         assert len(set(fams)) == len(fams)
 
 
+def test_bulk_delta_merge(universe):
+    """load_nr's bulk CSR + /add's delta dict merge: bulk entries first,
+    delta appended, pairs already in bulk are no-ops."""
+    m = universe["mapping"]
+    keys, offs, vals = m.fam_csr()
+    k0 = int(keys[0])
+    bulk_fams = vals[offs[0]:offs[1]].tolist()
+    m.add_fam_mapping(bulk_fams[0], k0)          # no-op: already in bulk
+    m.add_fam_mapping(3, k0)                     # new fam appended
+    m.add_fam_mapping(3, k0)                     # delta dedup
+    novel = 19_999_999_999                       # kmer absent from bulk
+    m.add_fam_mapping(2, novel)
+    assert m.families_of_kmer(k0) == bulk_fams + [3]
+    assert m.families_of_kmer(novel) == [2]
+    keys2, offs2, vals2 = m.fam_csr()
+    i = int(np.searchsorted(keys2, k0))
+    assert vals2[offs2[i]:offs2[i + 1]].tolist() == bulk_fams + [3]
+    assert len(keys2) == len(keys) + 1
+    # restore the fixture universe for later tests
+    m._kmer_to_fams.clear()
+    m._fam_csr = None
+
+
 def test_best_match_exact_protein(universe):
     eng, m, prots = universe["eng"], universe["mapping"], universe["prots"]
     db = universe["db"]
