@@ -540,13 +540,45 @@ class DeviceScorer:
             d.sub_header, d.sub_blocks, d.sub_w,
             d.fused_wide, d.fused_w)
 
+    def best_calls_batch(self, offsets, lengths, function_of,
+                         params: EngineParams | None = None):
+        """Complete fused best-call path: device reductions + host
+        decision, with rows that overflow the device call-stream cap
+        (>32 calls, col 8 flag) re-scored exactly through the
+        compact-call path + the native top-3 reduction."""
+        from ..native import api as native
+        from .engine import finish_best_call
+        params = params or EngineParams()
+        out = np.asarray(self.best_batch_packed(offsets, lengths, params))
+        ovf = out[:, 8] != 0 if out.shape[1] > 8 \
+            else np.zeros(len(out), bool)
+        res = self.finish_best_batch(out, function_of, overflow="ignore")
+        if ovf.any():
+            rows = np.nonzero(ovf)[0]
+            sub_off = np.ascontiguousarray(offsets[rows])
+            sub_len = np.ascontiguousarray(lengths[rows])
+            dev, cap = self.score_batch_packed(
+                sub_off, sub_len, params,
+                calls_per_seq_cap=float(sub_off.shape[1]))
+            dense = self.unpack_dense(np.asarray(dev), len(rows), cap)
+            n_calls, cs, ce, cc, cf, cw = dense
+            nf, ofi, ocnt, owt = native.best_call_batch(
+                n_calls, cs, ce, cc, cf, cw)
+            for k, r in enumerate(rows):
+                res[r] = finish_best_call(int(nf[k]), ofi[k], ocnt[k],
+                                          owt[k], function_of)
+        return res
+
     @staticmethod
-    def finish_best_batch(out_np: np.ndarray, function_of):
+    def finish_best_batch(out_np: np.ndarray, function_of,
+                          overflow: str = "raise"):
         """Host decision step over the device reductions; returns
         oracle.BestCall per row (exact, including the lexicographic
-        ambiguous-pair naming)."""
+        ambiguous-pair naming).  ``overflow="ignore"`` skips the cap
+        check (callers like best_calls_batch re-score flagged rows)."""
         from .engine import finish_best_call
-        if out_np.shape[1] > 8 and out_np[:, 8].any():
+        if (overflow == "raise" and out_np.shape[1] > 8
+                and out_np[:, 8].any()):
             raise OverflowError(
                 "rows exceeded the device call-stream cap; use the "
                 "score_batch path for these sequences")

@@ -123,3 +123,47 @@ def test_device_best_bridge_merge():
         want = O.find_best_call(o_calls, db.function_of)
         assert (g.function_index, g.function, g.score, g.score_offset) == \
             (want.function_index, want.function, want.score, want.score_offset)
+
+
+def test_best_calls_batch_overflow_fallback():
+    """Rows with >32 calls trip the device cap flag; best_calls_batch
+    must re-score them exactly instead of raising (device_score
+    OverflowError escape, VERDICT weak #6)."""
+    from close_kmers_tpu.db.signature_db import SignatureDB
+    from close_kmers_tpu.ops.encoder import decode_kmer
+
+    rng = np.random.default_rng(99)
+    n_f = 40
+    entries = []
+    kmers = []
+    alpha = "ACDEFGHIKLMNPQRSTVWY"
+    seen = set()
+    while len(kmers) < n_f:
+        k = "".join(rng.choice(list(alpha), size=8))
+        if k in seen:
+            continue
+        seen.add(k)
+        kmers.append(k)
+        entries.append((k, 5, len(kmers) - 1, 1.0, -1))
+    db = SignatureDB.from_entries(entries,
+                                  functions=[f"f{i}" for i in range(n_f)])
+    # 40 single-function blocks -> 40 calls at min_hits=1 (function
+    # changes flush runs); plus a small normal row
+    big = "".join(k + k for k in kmers)
+    small = kmers[0] * 3
+    params = EngineParams(min_hits=1)
+    ds = DeviceScorer(db)
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch([big, small])
+    out = np.asarray(ds.best_batch_packed(offsets, lengths, params))
+    assert out.shape[1] > 8 and out[0, 8] != 0, "cap flag must trip"
+    with pytest.raises(OverflowError):
+        DeviceScorer.finish_best_batch(out, db.function_of)
+    got = ds.best_calls_batch(offsets, lengths, db.function_of, params)
+    for seq, g in zip([big, small], got):
+        o_calls = []
+        O.process_aa_seq(seq, db.lookup, params, o_calls, None, None)
+        want = O.find_best_call(o_calls, db.function_of)
+        assert g.function_index == want.function_index
+        assert np.float32(g.weighted_score) == np.float32(want.weighted_score)
+        assert g.score == want.score
