@@ -386,6 +386,12 @@ class _ShardSpiller:
     def __init__(self, work_dir: str, buffer_records: int):
         self.dir = work_dir
         os.makedirs(work_dir, exist_ok=True)
+        # Spill files are opened append-mode by flush(); stale ones from an
+        # interrupted run in a reused --work-dir would silently mix records
+        # from two runs (corrupting counts/medians/weights), so clear them.
+        for f in os.listdir(work_dir):
+            if f.endswith(".spill"):
+                os.remove(os.path.join(work_dir, f))
         self.buffer_records = buffer_records
         self.buf: list[np.ndarray] = []
         self.buffered = 0
@@ -450,15 +456,34 @@ class ExternalBuildResult:
                     f.write(f"{_key_to_kmer(keys[i])}\t{int(med[i])}\t"
                             f"{int(func[i])}\t{'%g' % np.float32(w[i])}\t-1\n")
 
+    def to_arrays(self):
+        """Vectorized probe-table assembly: encode each kept chunk's raw
+        kmer bytes to base-20 codes, drop invalid (lowercase) encodings
+        like insert_kmer (kguts.cc:202-210), and concatenate in global
+        kmer order.  O(output arrays) RAM — no per-entry Python tuples,
+        so `build_db --external` survives the 1e8+-key scale the flag
+        exists for.  Returns (keys i64, fi i32, oi i32, avg_off i32,
+        wt f32)."""
+        from ..ops.encoder import raw_keys_to_encoded
+        keys_l, fi_l, off_l, wt_l = [], [], [], []
+        for keys, med, func, w in self.iter_kept_chunks():
+            code, valid = raw_keys_to_encoded(keys)
+            keys_l.append(code[valid])
+            fi_l.append(func[valid].astype(np.int32))
+            off_l.append(med[valid].astype(np.int32))
+            wt_l.append(w[valid].astype(np.float32))
+        keys = (np.concatenate(keys_l) if keys_l
+                else np.zeros(0, np.int64))
+        return (keys,
+                np.concatenate(fi_l) if fi_l else np.zeros(0, np.int32),
+                np.full(len(keys), -1, dtype=np.int32),
+                np.concatenate(off_l) if off_l else np.zeros(0, np.int32),
+                np.concatenate(wt_l) if wt_l else np.zeros(0, np.float32))
+
     def to_signature_db(self) -> SignatureDB:
-        chunks = list(self.iter_kept_chunks())
-        entries = []
-        for keys, med, func, w in chunks:
-            for i in range(len(keys)):
-                entries.append((_key_to_kmer(keys[i]), int(med[i]),
-                                int(func[i]), float(w[i]), -1))
-        return SignatureDB.from_entries(
-            entries, functions=self.fm.functions_by_index())
+        keys, fi, oi, avg_off, wt = self.to_arrays()
+        return SignatureDB(keys, fi, oi, avg_off, wt,
+                           functions=self.fm.functions_by_index())
 
     def write_data_dir(self, out_dir: str, mem_map: bool = False,
                        final_kmers: bool = True, npz: bool = True) -> None:

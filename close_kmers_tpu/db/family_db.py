@@ -187,6 +187,12 @@ class KmerFamilyMapping:
         self._kmer_to_pegs.setdefault(kmer, []).append(peg_id)
         self._peg_csr = None
 
+    # Flush accumulated (code, fam) pairs into the bulk CSR once this many
+    # pile up: keeps load_nr's peak host RAM O(threshold + CSR) instead of
+    # O(total hits) for very large NR inputs (the reference's nr_loader
+    # streams batches into the inserter queues, nr_loader.cc:160-183).
+    NR_INGEST_PAIRS = 32_000_000
+
     def load_nr(self, nr_path: str, engine, batch_size: int = 4096) -> int:
         """Preload kmer→family mappings from a families NR FASTA
         (nr_loader.cc:131-186): for each protein with a known family,
@@ -227,6 +233,10 @@ class KmerFamilyMapping:
             keep = fam_per_hit >= 0
             code_parts.append(codes[keep])
             fam_parts.append(fam_per_hit[keep])
+            if sum(len(c) for c in code_parts) >= self.NR_INGEST_PAIRS:
+                self._ingest_bulk_fam(np.concatenate(code_parts),
+                                      np.concatenate(fam_parts))
+                code_parts, fam_parts = [], []
         self._ingest_bulk_fam(np.concatenate(code_parts) if code_parts
                               else np.zeros(0, np.int64),
                               np.concatenate(fam_parts) if fam_parts
@@ -293,6 +303,20 @@ class KmerFamilyMapping:
                 # stable by code: bulk entries precede delta appends
                 order = np.lexsort((np.arange(len(codes)), codes))
                 codes, fams = codes[order], fams[order]
+                # Dedup (code, fam) pairs: a pair /add'ed before load_nr
+                # ingested the same pair exists in BOTH the delta and the
+                # bulk CSR (add_fam_mapping's guard only sees an existing
+                # bulk), and a duplicate would inflate rollup counts vs
+                # the reference's set semantics (kmer.cc:216-230).  Keep
+                # the first occurrence in merged (bulk-first) order.
+                occ = np.arange(len(codes), dtype=np.int64)
+                o2 = np.lexsort((occ, fams, codes))
+                dup = np.zeros(len(o2), dtype=bool)
+                dup[1:] = ((codes[o2][1:] == codes[o2][:-1])
+                           & (fams[o2][1:] == fams[o2][:-1]))
+                keep = np.ones(len(codes), dtype=bool)
+                keep[o2[dup]] = False
+                codes, fams = codes[keep], fams[keep]
                 new_key = np.ones(len(codes), dtype=bool)
                 new_key[1:] = codes[1:] != codes[:-1]
                 keys = codes[new_key]

@@ -165,7 +165,11 @@ def write_kmc_db(base: str, items, kmer_length: int,
         for j, c in enumerate(codes[p:]):
             packed[j // 4] |= c << (6 - 2 * (j % 4))
         suf_records += bytes(packed)
-        suf_records += int(count).to_bytes(counter_size, "little")
+        # KMC saturates counters at the field's capacity instead of
+        # overflowing; clamp so counter_size=1/2 writers can't raise
+        # OverflowError from to_bytes.
+        cap = (1 << (8 * counter_size)) - 1
+        suf_records += min(int(count), cap).to_bytes(counter_size, "little")
     np.cumsum(pref_counts, out=lut[1:])
 
     header = _HEADER.pack(kmer_length, mode, counter_size, p, min_count,

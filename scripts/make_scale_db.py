@@ -69,7 +69,6 @@ def main() -> int:
 
     from close_kmers_tpu.db.builder import build_signature_kmers_external
     from close_kmers_tpu.db.signature_db import write_index_file
-    from close_kmers_tpu.ops.encoder import raw_keys_to_encoded
     from close_kmers_tpu.params import LO_CARD
 
     windows_per_prot = args.prot_len - 7
@@ -96,21 +95,10 @@ def main() -> int:
 
     # assemble the probe-table arrays (vectorized; skips final.kmers text)
     t0 = time.time()
-    keys_l, fi_l, off_l, wt_l = [], [], [], []
-    for keys, med, func, w in r.iter_kept_chunks():
-        code, valid = raw_keys_to_encoded(keys)
-        keys_l.append(code[valid])
-        fi_l.append(func[valid])
-        off_l.append(med[valid])
-        wt_l.append(w[valid])
-    keys = np.concatenate(keys_l)
+    keys, fi, oi, avg_off, wt = r.to_arrays()
     assert (np.diff(keys) > 0).all(), "global key order violated"
     out_npz = os.path.join(args.out, "scale_db.npz")
-    np.savez(out_npz, keys=keys,
-             fi=np.concatenate(fi_l).astype(np.int32),
-             oi=np.full(len(keys), -1, dtype=np.int32),
-             avg_off=np.concatenate(off_l).astype(np.int32),
-             wt=np.concatenate(wt_l).astype(np.float32))
+    np.savez(out_npz, keys=keys, fi=fi, oi=oi, avg_off=avg_off, wt=wt)
     write_index_file(os.path.join(args.out, "function.index"),
                      r.fm.functions_by_index())
     t_out = time.time() - t0

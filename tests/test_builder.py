@@ -241,6 +241,31 @@ def test_external_builder_byte_identical(corpus, tmp_path):
     assert np.array_equal(db1.wt, db2.wt)
 
 
+def test_external_builder_cleans_stale_spills(corpus, tmp_path):
+    """Reusing a --work-dir after an interrupted run must not mix the old
+    run's spill records in (flush() appends): _ShardSpiller clears stale
+    *.spill files on init."""
+    files, *_ = corpus
+    work = tmp_path / "work"
+    spill_dir = work / "spill"
+    os.makedirs(spill_dir)
+    # fake leftovers from a dead run: a full spill record of garbage
+    stale = np.zeros(3, dtype=B._SPILL_DTYPE)
+    stale["key"] = [0x4141414141414141] * 3   # 'AAAAAAAA'
+    with open(spill_dir / "04141.spill", "wb") as f:
+        f.write(stale.tobytes())
+    r_ext = B.build_signature_kmers_external(
+        files, min_reps_required=5, good_roles=["Role Y"],
+        work_dir=str(work), buffer_records=7)
+    r_mem = B.build_signature_kmers(files, min_reps_required=5,
+                                    good_roles=["Role Y"])
+    out_ext, out_mem = tmp_path / "ext", tmp_path / "mem"
+    r_ext.write_data_dir(str(out_ext))
+    r_mem.write_data_dir(str(out_mem))
+    assert (out_ext / "final.kmers").read_bytes() == \
+        (out_mem / "final.kmers").read_bytes()
+
+
 def test_plurality_threshold_is_float32(tmp_path):
     """The keep rule is float32 (thresh = float(count) * 0.8f,
     build_signature_kmers.cc:673): synthetic group sizes where f32 and

@@ -59,7 +59,8 @@ def universe(tmp_path_factory):
     n = mapping.load_nr(str(nr_file), eng)
     assert n == 4
     return dict(db=db, eng=eng, mapping=mapping, prots=prots,
-                fam_spec=fam_spec, funcs=funcs, tmp=tmp)
+                fam_spec=fam_spec, funcs=funcs, tmp=tmp,
+                nr_path=str(nr_file))
 
 
 def test_load_families_metadata(universe):
@@ -115,6 +116,46 @@ def test_bulk_delta_merge(universe):
     # restore the fixture universe for later tests
     m._kmer_to_fams.clear()
     m._fam_csr = None
+
+
+def test_add_before_nr_ingest_dedups(universe):
+    """A (kmer, fam) pair /add'ed BEFORE the NR preload ingests the same
+    pair must not appear twice in the merged CSR (reference set
+    semantics, kmer.cc:216-230): add_fam_mapping's bulk guard can't see
+    a bulk CSR that doesn't exist yet, so fam_csr's merge dedups."""
+    from close_kmers_tpu.db.family_db import KmerFamilyMapping
+    m = KmerFamilyMapping()
+    m.add_fam_mapping(7, 1234567)            # delta first (no bulk yet)
+    m.add_fam_mapping(9, 1234567)
+    m._ingest_bulk_fam(np.array([1234567, 1234567], dtype=np.int64),
+                       np.array([7, 5], dtype=np.int32))  # NR ingests 7 too
+    keys, offs, vals = m.fam_csr()
+    i = int(np.searchsorted(keys, 1234567))
+    fams = vals[offs[i]:offs[i + 1]].tolist()
+    assert sorted(fams) == [5, 7, 9]          # no duplicate 7
+    # bulk order first, then novel delta entries
+    assert fams == [7, 5, 9]
+
+
+def test_load_nr_periodic_ingest(universe, tmp_path, monkeypatch):
+    """load_nr with a tiny ingest threshold (forcing multiple incremental
+    bulk merges) produces the same CSR as one big ingest."""
+    from close_kmers_tpu.db.family_db import KmerFamilyMapping
+    eng, m0 = universe["eng"], universe["mapping"]
+    nr = universe["nr_path"]
+    ref = m0._bulk_fam
+
+    m2 = KmerFamilyMapping()
+    m2.genus_map.update(m0.genus_map)
+    m2.families = m0.families
+    m2.peg_names = list(m0.peg_names)
+    m2.peg_to_id = dict(m0.peg_to_id)
+    m2.peg_to_family = dict(m0.peg_to_family)
+    monkeypatch.setattr(KmerFamilyMapping, "NR_INGEST_PAIRS", 8)
+    m2.load_nr(nr, eng, batch_size=2)
+    assert np.array_equal(m2._bulk_fam[0], ref[0])
+    assert np.array_equal(m2._bulk_fam[1], ref[1])
+    assert np.array_equal(m2._bulk_fam[2], ref[2])
 
 
 def test_best_match_exact_protein(universe):

@@ -90,6 +90,17 @@ def test_kmc_roundtrip(tmp_path):
     assert got == sorted(items)
 
 
+def test_kmc_counter_saturates(tmp_path):
+    """Counts beyond the counter field saturate (KMC clamps) instead of
+    raising OverflowError from to_bytes."""
+    from close_kmers_tpu.io.kmc import read_kmc_db, write_kmc_db
+    base = str(tmp_path / "db_sat")
+    write_kmc_db(base, [("AAACGT", 300), ("GGGTTT", 70000)],
+                 kmer_length=6, lut_prefix_length=2, counter_size=1)
+    got = dict(read_kmc_db(base))
+    assert got == {"AAACGT": 255, "GGGTTT": 255}
+
+
 def test_kmc_binary_input_matches_text(tmp_path):
     """A KMC binary DB and its text dump produce identical matrices
     (kmerge.cc:325-338 input sniffing, :375-400 iteration)."""
