@@ -147,7 +147,12 @@ class KmerFamilyMapping:
                 else:
                     plf_mid = mapped
                     genus_id = int(mapped)
-                plf = "PLF_" + plf_mid + "_" + "0" * max(0, 8 - len(cols[8])) + cols[8]
+                # zeros.substr(0, 8 - size) with size_t wraparound: a
+                # >8-digit family number gets the FULL "00000000" prefix
+                # (kmer.cc:379, 440-441), not zero padding.
+                pad = "00000000" if len(cols[8]) > 8 \
+                    else "0" * (8 - len(cols[8]))
+                plf = "PLF_" + plf_mid + "_" + pad + cols[8]
                 pid = self.encode_peg(cols[3])
                 seqlen = int(cols[4])
                 fkey = (pgf, plf)

@@ -40,3 +40,16 @@ def test_fuzzed_protein_rounds_match_reference(harness, seed):
 
 def test_fuzzed_dna_round_matches_reference(harness):
     assert ref_parity.fuzz_round(13, dna=True)
+
+
+@pytest.fixture(scope="module")
+def family_harness():
+    return ref_parity.build_family_harness()
+
+
+@pytest.mark.parametrize("seed", [1000, 1001, 1002])
+def test_family_rounds_match_reference(family_harness, seed):
+    """Family scoring (kmer.cc + family_mapper.cc compiled verbatim
+    against oneTBB): load_families + NR preload + find_best_family_match
+    + find_all_matches vs core.family over fuzzed universes."""
+    assert ref_parity.family_fuzz_round(seed)
