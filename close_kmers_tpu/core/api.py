@@ -355,7 +355,9 @@ class KmerEngine:
         host = [joined[bounds[i]:bounds[i + 1]]
                 for i in range(len(sizes))]
 
-        bests: list = []
+        from .family import BestCallReduction
+
+        reds = []
         rolls = []
         for ci, (offsets, lengths, n, calls_dev, call_cap, rows_dev, gcap) \
                 in enumerate(pending):
@@ -383,20 +385,25 @@ class KmerEngine:
             n_calls, cs, ce, cc, cf, cw = dense
             nf, ofi, ocnt, owt = native.best_call_batch(n_calls, cs, ce,
                                                         cc, cf, cw)
-            bests += [finish_best_call(int(nf[s]), ofi[s], ocnt[s], owt[s],
-                                       self.function_of) for s in range(n)]
+            reds.append((nf[:n], ofi[:n], ocnt[:n], owt[:n]))
             n_per, fam, counts, weights, first = roll
             total = int(np.asarray(n_per[:n]).sum())
             rolls.append((np.asarray(n_per[:n]), fam[:total], counts[:total],
                           weights[:total], first[:total]))
 
+        reduction = BestCallReduction(
+            np.concatenate([r[0] for r in reds]),
+            np.concatenate([r[1] for r in reds]),
+            np.concatenate([r[2] for r in reds]),
+            np.concatenate([r[3] for r in reds]),
+            self.db.functions)
         n_per = np.concatenate([r[0] for r in rolls])
         fam = np.concatenate([r[1] for r in rolls])
         counts = np.concatenate([r[2] for r in rolls])
         weights = np.concatenate([r[3] for r in rolls])
         first = np.concatenate([r[4] for r in rolls])
         return find_best_family_matches_batch(
-            bests, n_per, fam, counts, weights, first, mapping,
+            reduction, n_per, fam, counts, weights, first, mapping,
             kmer_hit_threshold, allow_ambiguous, target_genus_id,
             genus_filter)
 

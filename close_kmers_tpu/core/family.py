@@ -165,8 +165,45 @@ def find_best_family_match(
         score=best.score, weighted_score=best.weighted_score)
 
 
+@dataclasses.dataclass
+class BestCallReduction:
+    """Array form of the native top-3 best-call reduction plus the DB
+    function list — lets find_best_family_matches_batch resolve best-call
+    functions WITHOUT materializing S BestCall objects or doing S string
+    intern lookups (finish_best_call + func_intern.get per row were a
+    measurable share of the /lookup?find_best_match serving path)."""
+    nf: np.ndarray       # i32[S] distinct functions per seq
+    ofi: np.ndarray      # i32[S, 3] top function indexes
+    ocnt: np.ndarray     # i32[S, 3] counts
+    owt: np.ndarray      # f32[S, 3] weighted
+    functions: list      # DB function strings (index -> name)
+
+    def best_call(self, s: int) -> O.BestCall:
+        from .engine import finish_best_call
+        return finish_best_call(
+            int(self.nf[s]), self.ofi[s], self.ocnt[s], self.owt[s],
+            lambda i: (self.functions[i]
+                       if 0 <= i < len(self.functions)
+                       else "INVALID_OFFSET"))
+
+
+def _db_fi_intern(mapping: KmerFamilyMapping, functions: list) -> np.ndarray:
+    """DB function index -> mapping func_intern id (-1 when no family
+    uses that function).  Cached on the mapping per (families generation,
+    functions identity)."""
+    func_intern = mapping.family_meta_arrays()[5]
+    key = (mapping._families_gen, len(mapping.families), id(functions))
+    cached = getattr(mapping, "_fi_intern", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    arr = np.fromiter((func_intern.get(fn, -1) for fn in functions),
+                      dtype=np.int64, count=len(functions))
+    mapping._fi_intern = (key, arr)
+    return arr
+
+
 def find_best_family_matches_batch(
-    bests: list[O.BestCall],
+    bests,
     n_per: np.ndarray, fam: np.ndarray, cnt: np.ndarray, wt: np.ndarray,
     first: np.ndarray,
     mapping: KmerFamilyMapping,
@@ -189,22 +226,82 @@ def find_best_family_matches_batch(
     groups by family, so this always holds for its output; the scalar
     dict path would collapse duplicates by overwrite).
     """
-    S = len(bests)
     func_id, pgf_id, gen_id, pgf_names, plf_names, func_intern = \
         mapping.family_meta_arrays()
     F = len(mapping.families)
     n_per = np.asarray(n_per, dtype=np.int64)
 
-    bestfn = [""] * S
-    bestfn_idx = np.full(S, -1, dtype=np.int64)
-    scalar_rows = []
-    for s, b in enumerate(bests):
-        fn, _ambig, do_ambig = resolve_best_call_function(b, allow_ambiguous)
-        bestfn[s] = fn
-        if do_ambig:
-            scalar_rows.append(s)
+    if isinstance(bests, BestCallReduction):
+        # Vectorized finish_best_call + function resolution: the
+        # called/ambiguous classification and intern lookup are pure
+        # array ops; only ambiguous rows (rare) go scalar.
+        S = len(bests.nf)
+        n = np.asarray(bests.nf, dtype=np.int64)
+        cnt0 = bests.ocnt[:, 0].astype(np.float32)
+        offset = np.where(n <= 1, cnt0,
+                          cnt0 - bests.ocnt[:, 1].astype(np.float32))
+        called = (n >= 1) & (offset >= np.float32(5.0))
+        pair_off = (bests.ocnt[:, 1] - bests.ocnt[:, 2]).astype(np.float32)
+        is_amb = (~called) & ((n == 2)
+                              | ((n >= 3) & (pair_off > np.float32(5.0))))
+        fi0 = bests.ofi[:, 0].astype(np.int64)
+        hyp_idx = func_intern.get("hypothetical protein", -1)
+        fi_intern = _db_fi_intern(mapping, bests.functions)
+        safe0 = np.where(called & (fi0 >= 0) & (fi0 < len(fi_intern)),
+                         fi0, 0)
+        bestfn_idx = np.where(called, fi_intern[safe0], hyp_idx)
+        # BestMatch output fields (finish_best_call semantics): score is
+        # set for called and ambiguous rows, weighted only for called /
+        # 3-way-ambiguous rows
+        scoreA = np.where(called | is_amb, cnt0, np.float32(0.0))
+        weightedA = np.where(called | (is_amb & (n >= 3)),
+                             bests.owt[:, 0], np.float32(0.0)
+                             ).astype(np.float32)
+        if allow_ambiguous:
+            scalar_rows = np.nonzero(is_amb)[0].tolist()
+            bestfn_idx[is_amb] = -2   # matches nothing; rows redone below
         else:
-            bestfn_idx[s] = func_intern.get(fn, -1)
+            scalar_rows = []          # ambiguous degrades to hypothetical
+
+        def out_fn(s: int) -> str:
+            if called[s]:
+                return bests.functions[int(fi0[s])] \
+                    if 0 <= fi0[s] < len(bests.functions) else "INVALID_OFFSET"
+            if is_amb[s]:
+                f1 = bests.functions[int(bests.ofi[s, 0])]
+                f2 = bests.functions[int(bests.ofi[s, 1])]
+                if f2 > f1:
+                    f1, f2 = f2, f1
+                fn, _a, _d = resolve_best_call_function(
+                    O.BestCall(-1, f"{f1} ?? {f2}", 0.0, 0.0, 0.0),
+                    allow_ambiguous)
+                return fn
+            return "hypothetical protein"
+
+        scalar_best = bests.best_call
+    else:
+        S = len(bests)
+        bestfn = [""] * S
+        bestfn_idx = np.full(S, -1, dtype=np.int64)
+        scoreA = np.fromiter((b.score for b in bests), dtype=np.float32,
+                             count=S)
+        weightedA = np.fromiter((b.weighted_score for b in bests),
+                                dtype=np.float32, count=S)
+        scalar_rows = []
+        for s, b in enumerate(bests):
+            fn, _ambig, do_ambig = resolve_best_call_function(
+                b, allow_ambiguous)
+            bestfn[s] = fn
+            if do_ambig:
+                scalar_rows.append(s)
+            else:
+                bestfn_idx[s] = func_intern.get(fn, -1)
+
+        def out_fn(s: int) -> str:
+            return bestfn[s]
+
+        def scalar_best(s: int) -> O.BestCall:
+            return bests[s]
 
     N = int(n_per.sum())
     row = np.repeat(np.arange(S, dtype=np.int64), n_per)
@@ -253,9 +350,9 @@ def find_best_family_matches_batch(
     np.minimum.at(gfirst, gr, gcand)
 
     out: list[BestMatch] = []
-    for s, b in enumerate(bests):
-        m = BestMatch(function=bestfn[s], score=b.score,
-                      weighted_score=b.weighted_score)
+    for s in range(S):
+        m = BestMatch(function=out_fn(s), score=float(scoreA[s]),
+                      weighted_score=float(weightedA[s]))
         if lfirst[s] < N and lmax[s] > np.float32(0.0):
             k = int(lfirst[s])
             m.lfam_id = plf_names[int(fam_o[k])]
@@ -281,7 +378,7 @@ def find_best_family_matches_batch(
                                             np.float32(wt_n[a + i]))
                 for i in sub}
             out[s] = find_best_family_match(
-                bests[s], seq_score, mapping, kmer_hit_threshold,
+                scalar_best(s), seq_score, mapping, kmer_hit_threshold,
                 allow_ambiguous, target_genus_id, genus_filter)
     return out
 

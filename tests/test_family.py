@@ -317,3 +317,64 @@ def test_batch_best_match_parity():
                 (want.gfam_id, want.lfam_id, want.function), (trial, s)
             assert g.gfam_score == want.gfam_score, (trial, s)
             assert g.lfam_score == want.lfam_score, (trial, s)
+
+
+def test_reduction_best_match_parity():
+    """The array-form best-call reduction (BestCallReduction) through
+    find_best_family_matches_batch must equal the finish_best_call ->
+    BestCall-list path exactly, including ambiguous and no-call rows."""
+    from close_kmers_tpu.core.engine import finish_best_call
+    from close_kmers_tpu.db.family_db import FamilyData
+
+    rng = np.random.default_rng(123)
+    for trial in range(40):
+        n_funcs = int(rng.integers(2, 8))
+        functions = [f"fn{i}" for i in range(n_funcs)]
+        F_n = int(rng.integers(1, 24))
+        mapping = KmerFamilyMapping()
+        mapping.families = [
+            FamilyData(f"PGF_{rng.integers(0, 6):05d}", f"PLF_{f:05d}",
+                       int(rng.integers(0, 3)),
+                       rng.choice(functions + ["hypothetical protein"]),
+                       f, 5, 5)
+            for f in range(F_n)]
+        S = int(rng.integers(1, 12))
+        # random native-reduction outputs: nf in 0..3, counts descending,
+        # values straddling the 5.0 call/pair thresholds
+        nf = rng.integers(0, 4, size=S).astype(np.int32)
+        ocnt = np.sort(rng.integers(0, 12, size=(S, 3)), axis=1)[:, ::-1] \
+            .astype(np.int32)
+        ofi = rng.integers(0, n_funcs, size=(S, 3)).astype(np.int32)
+        owt = rng.random((S, 3)).astype(np.float32)
+        n_per = rng.integers(0, min(8, F_n + 2), size=S)
+        N = int(n_per.sum())
+        fam = np.concatenate([
+            rng.choice(np.arange(-1, F_n + 1), size=n, replace=False)
+            for n in n_per]).astype(np.int32) if N else np.zeros(0, np.int32)
+        cnt = rng.integers(1, 7, size=N).astype(np.int32)
+        wt = rng.choice(np.float32([0.0, 0.25, 0.5, 0.5, 1.5]), size=N)
+        first = rng.permutation(N).astype(np.int32)
+        allow_ambig = bool(rng.integers(0, 2))
+        genus_filter = bool(rng.integers(0, 2))
+        thr = int(rng.integers(1, 4))
+        tg = int(rng.integers(0, 3))
+
+        function_of = lambda i: (functions[i] if 0 <= i < n_funcs
+                                 else "INVALID_OFFSET")
+        bests = [finish_best_call(int(nf[s]), ofi[s], ocnt[s], owt[s],
+                                  function_of) for s in range(S)]
+        red = F.BestCallReduction(nf, ofi, ocnt, owt, functions)
+        want = F.find_best_family_matches_batch(
+            bests, n_per, fam, cnt, wt, first, mapping, thr, allow_ambig,
+            tg, genus_filter)
+        got = F.find_best_family_matches_batch(
+            red, n_per, fam, cnt, wt, first, mapping, thr, allow_ambig,
+            tg, genus_filter)
+        for s in range(S):
+            g, w = got[s], want[s]
+            assert (g.gfam_id, g.lfam_id, g.function) == \
+                (w.gfam_id, w.lfam_id, w.function), (trial, s)
+            assert g.gfam_score == w.gfam_score, (trial, s)
+            assert g.lfam_score == w.lfam_score, (trial, s)
+            assert g.score == w.score and \
+                g.weighted_score == w.weighted_score, (trial, s)
