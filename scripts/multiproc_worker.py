@@ -1,10 +1,16 @@
 """Worker for the multi-process jax.distributed test/bench.
 
 Each process brings up jax.distributed on the CPU backend with N virtual
-local devices, joins the global ("data", "table") mesh, builds the SAME
-deterministic signature DB + batch, runs the sharded annotate step, and
-verifies its own addressable output shards against the single-chip
-engine's full-batch reference computed locally.  Exit 0 = parity.
+local devices, joins the global ("data", "table") mesh, and runs BOTH
+the sharded probe and the FULL sharded annotation step
+(annotate_step_sharded: probe + psum merge + scoring scan + per-sequence
+reductions + cross-shard family rollup) over two DB shapes — a
+shallow-bucket one (payload-wide shard layout) and a deep-bucket one
+(sub-bucket shard layout).  Every process verifies its own addressable
+output shards against a single-process reference: the SAME step run over
+a trivial 1-device local mesh (identical code path, psum = identity), so
+any cross-process collective divergence shows up as a byte mismatch.
+Exit 0 = parity.
 
 Invoked by tests/test_multiprocess.py and scripts/scaling_bench.py:
     python scripts/multiproc_worker.py <pid> <nproc> <port> [--bench]
@@ -15,6 +21,124 @@ from __future__ import annotations
 import os
 import sys
 import time
+
+
+def build_db(rng, deep: bool):
+    import numpy as np
+    from close_kmers_tpu.db.signature_db import SignatureDB
+    from close_kmers_tpu.params import LO_CARD
+
+    if deep:
+        # ~60 hi buckets over 8k keys: avg depth ~130 >> WIDE_BUCKET_MAX,
+        # so ShardedDB builds the sub-bucket block layout per shard
+        n = 8_000
+        his = rng.integers(1_000_000, 1_000_060, size=n, dtype=np.int64)
+    else:
+        n = 30_000
+        his = rng.integers(0, 3_200_000, size=n, dtype=np.int64)
+    keys = np.unique(his * LO_CARD
+                     + rng.integers(0, LO_CARD, size=n, dtype=np.int64))
+    return SignatureDB(
+        keys,
+        rng.integers(0, 50, size=len(keys)).astype(np.int32),
+        rng.integers(-1, 9, size=len(keys)).astype(np.int32),
+        rng.integers(0, 300, size=len(keys)).astype(np.int32),
+        rng.uniform(0.1, 4.0, size=len(keys)).astype(np.float32),
+    )
+
+
+def build_mapping(rng, db):
+    """Synthetic kmer->family CSR over the DB keys (degree 1-3)."""
+    import numpy as np
+    from close_kmers_tpu.db.family_db import KmerFamilyMapping
+
+    n = len(db)
+    deg = rng.integers(1, 4, size=n)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=offs[1:])
+    vals = np.repeat(db.fi * 3, deg) + (np.arange(offs[-1]) % 3) \
+        .astype(np.int32)
+    mapping = KmerFamilyMapping()
+    mapping._fam_csr = (db.keys, offs, vals.astype(np.int32))
+    return mapping
+
+
+def run_case(pid, mesh, mesh_local, db, rng, label: str) -> int:
+    import jax
+    import numpy as np
+    from close_kmers_tpu.core.device_family import DeviceFamilyDB
+    from close_kmers_tpu.core.engine import FastAnnotator
+    from close_kmers_tpu.ops import encoder as E
+    from close_kmers_tpu.parallel.multihost import (addressable_rows,
+                                                    replicate_to_global)
+    from close_kmers_tpu.parallel.sharding import (ShardedDB,
+                                                   annotate_step_sharded,
+                                                   probe_sharded,
+                                                   shard_fam_table)
+
+    keys = db.keys
+    B, L = 64, 128
+    seqs = []
+    for i in range(B):
+        frags = [E.decode_kmer(int(keys[rng.integers(0, len(keys))]))
+                 for _ in range(rng.integers(1, 12))]
+        seqs.append("".join(frags)[:L - 9])
+
+    sdb = ShardedDB.from_db(db, mesh)
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs, pad_to=L)
+    g_off, g_len = replicate_to_global(mesh, offsets,
+                                       lengths.astype(np.int32))
+
+    mapping = build_mapping(rng, db)
+    fam_np = np.asarray(DeviceFamilyDB.from_mapping(db, mapping).fam)
+    fam_shards = shard_fam_table(fam_np, sdb)
+
+    t0 = time.time()
+    found, fi, oi, av, wt, hi, lo = probe_sharded(sdb, g_off, g_len)
+    jax.block_until_ready(found)
+    t_probe = time.time() - t0
+
+    # single-chip probe reference, computed locally
+    from close_kmers_tpu.core.engine import TpuEngine
+    rfound, rfi, roi, rav, rwt = TpuEngine(db).probe_padded(offsets, lengths)
+
+    n_checked = 0
+    for arr, exp in ((found, rfound.astype(np.int32)),
+                     (fi, np.where(rfound, rfi, 0)),
+                     (oi, np.where(rfound, roi, 0)), (av, rav), (wt, rwt)):
+        for idx, data in addressable_rows(arr):
+            assert np.array_equal(data, exp[idx]), \
+                f"proc {pid} [{label}]: probe shard {idx} mismatch"
+            n_checked += 1
+
+    # FULL annotation step across processes vs the same step on a
+    # trivial 1-device local mesh (psum over one shard = identity)
+    CAP = 8
+    t0 = time.time()
+    outs = annotate_step_sharded(sdb, g_off, g_len, fam_shards, CAP)
+    jax.block_until_ready(outs[0])
+    t_step = time.time() - t0
+
+    sdb1 = ShardedDB.from_db(db, mesh_local)
+    fam1 = shard_fam_table(fam_np, sdb1)
+    ref = annotate_step_sharded(sdb1, offsets, lengths.astype(np.int32),
+                                fam1, CAP)
+    ref_np = [np.asarray(r) for r in ref]
+
+    names = ("n_hits", "weighted", "func_wt", "n_calls", "call_wt",
+             "fam_rollup")
+    for name, arr, exp in zip(names, outs, ref_np):
+        for idx, data in addressable_rows(arr):
+            assert np.array_equal(data, exp[idx]), \
+                f"proc {pid} [{label}]: step output {name} shard mismatch"
+            n_checked += 1
+
+    layout = ("sub" if sdb.sub_blocks is not None
+              else "wide" if sdb.payload_wide is not None else "bin")
+    print(f"proc {pid} [{label}/{layout}]: OK ({n_checked} shards, "
+          f"probe {t_probe:.1f}s, full step {t_step:.1f}s)", flush=True)
+    return n_checked
 
 
 def main() -> int:
@@ -34,66 +158,42 @@ def main() -> int:
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    from close_kmers_tpu.parallel.multihost import replicate_to_global
+    from close_kmers_tpu.parallel.sharding import make_mesh, probe_sharded
+    from close_kmers_tpu.parallel.sharding import ShardedDB
     from close_kmers_tpu.core.engine import FastAnnotator
-    from close_kmers_tpu.db.signature_db import SignatureDB
     from close_kmers_tpu.ops import encoder as E
-    from close_kmers_tpu.parallel.multihost import (addressable_rows,
-                                                    replicate_to_global)
-    from close_kmers_tpu.parallel.sharding import (ShardedDB, make_mesh,
-                                                   probe_sharded)
-    from close_kmers_tpu.params import LO_CARD
 
     assert jax.process_count() == nproc, jax.process_count()
     n_global = nproc * local_devices
 
-    # deterministic DB + queries (identical in every process)
-    rng = np.random.default_rng(42)
-    n = 30_000
-    his = rng.integers(0, 3_200_000, size=n, dtype=np.int64)
-    keys = np.unique(his * LO_CARD
-                     + rng.integers(0, LO_CARD, size=n, dtype=np.int64))
-    db = SignatureDB(
-        keys,
-        rng.integers(0, 50, size=len(keys)).astype(np.int32),
-        rng.integers(-1, 9, size=len(keys)).astype(np.int32),
-        rng.integers(0, 300, size=len(keys)).astype(np.int32),
-        rng.uniform(0.1, 4.0, size=len(keys)).astype(np.float32),
-    )
-    B, L = 64, 128
-    seqs = []
-    for i in range(B):
-        frags = [E.decode_kmer(int(keys[rng.integers(0, len(keys))]))
-                 for _ in range(rng.integers(1, 12))]
-        seqs.append("".join(frags)[:L - 9])
-
     mesh = make_mesh(n_data=2, n_table=n_global // 2)
-    sdb = ShardedDB.from_db(db, mesh)
-    fa = FastAnnotator(db)
-    offsets, lengths = fa.pad_batch(seqs, pad_to=L)
-    g_off, g_len = replicate_to_global(mesh, offsets,
-                                       lengths.astype(np.int32))
+    from jax.sharding import Mesh
+    mesh_local = Mesh(
+        np.array(jax.local_devices()[:1]).reshape(1, 1), ("data", "table"))
 
-    t0 = time.time()
-    found, fi, oi, av, wt, hi, lo = probe_sharded(sdb, g_off, g_len)
-    jax.block_until_ready(found)
-    dt = time.time() - t0
+    rng = np.random.default_rng(42)
+    db = build_db(rng, deep=False)
+    run_case(pid, mesh, mesh_local, db, rng, "shallow")
 
-    # single-chip reference on the full batch, computed locally
-    from close_kmers_tpu.core.engine import TpuEngine
-    rfound, rfi, roi, rav, rwt = TpuEngine(db).probe_padded(offsets, lengths)
-
-    n_checked = 0
-    # sharded miss fi/oi are 0-masked by the psum merge; the single-chip
-    # path reports -1 (miss masking happens in the consumer)
-    for arr, exp in ((found, rfound.astype(np.int32)),
-                     (fi, np.where(rfound, rfi, 0)),
-                     (oi, np.where(rfound, roi, 0)), (av, rav), (wt, rwt)):
-        for idx, data in addressable_rows(arr):
-            assert np.array_equal(data, exp[idx]), \
-                f"proc {pid}: shard {idx} mismatch"
-            n_checked += 1
+    rng2 = np.random.default_rng(43)
+    db2 = build_db(rng2, deep=True)
+    run_case(pid, mesh, mesh_local, db2, rng2, "deep")
 
     if bench:
+        keys = db.keys
+        B, L = 64, 128
+        seqs = []
+        for i in range(B):
+            frags = [E.decode_kmer(int(keys[rng.integers(0, len(keys))]))
+                     for _ in range(rng.integers(1, 12))]
+            seqs.append("".join(frags)[:L - 9])
+        sdb = ShardedDB.from_db(db, mesh)
+        fa = FastAnnotator(db)
+        offsets, lengths = fa.pad_batch(seqs, pad_to=L)
+        g_off, g_len = replicate_to_global(mesh, offsets,
+                                           lengths.astype(np.int32))
+        probe_sharded(sdb, g_off, g_len)  # warm
         reps = 5
         t0 = time.time()
         for _ in range(reps):
@@ -103,9 +203,8 @@ def main() -> int:
         print(f"proc {pid}: {B / per:.0f} seqs/s/process "
               f"({per * 1e3:.1f} ms/step)", flush=True)
 
-    print(f"proc {pid}: OK ({n_checked} shards checked, first step "
-          f"{dt:.1f}s, {jax.process_count()} procs x {local_devices} "
-          f"local devices)", flush=True)
+    print(f"proc {pid}: OK ({jax.process_count()} procs x "
+          f"{local_devices} local devices)", flush=True)
     return 0
 
 

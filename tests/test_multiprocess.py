@@ -52,10 +52,27 @@ def _run_procs(nproc: int, extra=(), timeout=420):
 
 
 @pytest.mark.slow
-def test_two_process_sharded_probe_matches_single_chip():
+def test_two_process_full_step_matches_single_process():
+    """Probe AND the full annotate step (scores + family rollup + psum)
+    across 2 real processes, on shallow- and deep-bucket DB shapes."""
     outs = _run_procs(2)
     for i, out in enumerate(outs):
+        assert f"proc {i} [shallow/wide]: OK" in out, out
+        assert f"proc {i} [deep/sub]: OK" in out, out
         assert f"proc {i}: OK" in out, out
+
+
+@pytest.mark.slow
+def test_four_process_full_step_matches_single_process():
+    """Same checks over 4 processes x 2 local devices."""
+    os.environ["MP_LOCAL_DEVICES"] = "2"
+    try:
+        outs = _run_procs(4, timeout=600)
+    finally:
+        os.environ.pop("MP_LOCAL_DEVICES", None)
+    for i, out in enumerate(outs):
+        assert f"proc {i} [shallow/wide]: OK" in out, out
+        assert f"proc {i} [deep/sub]: OK" in out, out
 
 
 @pytest.mark.slow
