@@ -336,7 +336,7 @@ class KmerEngine:
             ccap = getattr(dfs, "_bm_ccap", 1)
             gcap = getattr(dfs, "_bm_gps", 2) * B
             calls_dev, call_cap, rows_dev, _ = dfs.score_family_packed(
-                c_off, c_len, params, ccap, -gcap)
+                c_off, c_len, params, ccap, -gcap, slim_calls=True)
             pending.append((c_off, c_len, n, calls_dev, call_cap,
                             rows_dev, gcap))
 
@@ -364,7 +364,7 @@ class KmerEngine:
             calls_np = host[2 * ci]
             rows_np = host[2 * ci + 1]
             while True:
-                dense = DeviceScorer.unpack_dense(calls_np, B, call_cap)
+                dense = DeviceScorer.unpack_dense3(calls_np, B, call_cap)
                 roll = DeviceFamilyScorer.finish_rollup_global(
                     rows_np, B, gcap)
                 if dense is not None and roll is not None:
@@ -378,12 +378,12 @@ class KmerEngine:
                 calls_dev, call_cap, rows_dev, _ = dfs.score_family_packed(
                     offsets, lengths, params,
                     getattr(dfs, "_bm_ccap", 1),
-                    -getattr(dfs, "_bm_gps", 2) * B)
+                    -getattr(dfs, "_bm_gps", 2) * B, slim_calls=True)
                 gcap = getattr(dfs, "_bm_gps", 2) * B
                 calls_np = np.asarray(calls_dev)
                 rows_np = np.asarray(rows_dev)
-            n_calls, cs, ce, cc, cf, cw = dense
-            nf, ofi, ocnt, owt = native.best_call_batch(n_calls, cs, ce,
+            n_calls, cc, cf, cw = dense
+            nf, ofi, ocnt, owt = native.best_call_batch(n_calls, None, None,
                                                         cc, cf, cw)
             reds.append((nf[:n], ofi[:n], ocnt[:n], owt[:n]))
             n_per, fam, counts, weights, first = roll

@@ -217,17 +217,23 @@ def _family_rollup_jit(bucket_pair, lo_arr, payload,
     jax.jit,
     static_argnames=("min_hits", "min_weighted_hits", "max_gap",
                      "order_constraint", "call_cap", "cap_seq", "wide_w",
-                     "sub_w", "fused_w"))
+                     "sub_w", "fused_w", "slim_calls"))
 def _score_family_jit(bucket_pair, lo_arr, payload, n, n_steps, fam_tab,
                       offsets, lengths, min_hits, min_weighted_hits,
                       max_gap, order_constraint, call_cap, cap_seq,
                       lo_wide=None, payload_wide=None, wide_w=0,
                       sub_header=None, sub_blocks=None, sub_w=0,
-                    fused_wide=None, fused_w=0):
+                    fused_wide=None, fused_w=0, slim_calls=False):
     """The family-serving program: ONE probe feeding both the scoring
     scan (packed CALL buffer, same layout as device_score._probe_score_jit)
     and the family rollup (packed rows).  /lookup?find_best_match=1 needs
-    both, so fusing them halves the dominant gather cost."""
+    both, so fusing them halves the dominant gather cost.
+
+    ``slim_calls`` drops the start/end planes from the CALL pack (3
+    planes instead of 5): the best-match path feeds the pack only to the
+    native best-call reduction, which never reads call positions
+    (ckmers.cpp ck_best_call_batch; kguts.cc:1023-1139 uses counts and
+    weights only) — a 40% cut of the calls D2H on a wire-bound link."""
     from .device_score import _scan_score
 
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
@@ -242,14 +248,16 @@ def _score_family_jit(bucket_pair, lo_arr, payload, n, n_steps, fam_tab,
     n_calls = emit.sum(axis=1, dtype=jnp.int32)
     flat_emit = emit.reshape(-1)
     order = jnp.argsort(~flat_emit, stable=True)[:call_cap]
-    pack = jnp.stack([
+    planes = [] if slim_calls else [
         c_start.reshape(-1)[order].astype(jnp.int32),
         c_end.reshape(-1)[order].astype(jnp.int32),
+    ]
+    planes += [
         c_cnt.reshape(-1)[order].astype(jnp.int32),
         c_fi.reshape(-1)[order].astype(jnp.int32),
         jax.lax.bitcast_convert_type(c_wt.reshape(-1)[order], jnp.int32),
-    ])
-    calls_out = jnp.concatenate([n_calls, pack.reshape(-1)])
+    ]
+    calls_out = jnp.concatenate([n_calls, jnp.stack(planes).reshape(-1)])
 
     fams = _gather_fams(fam_tab, idx)
     rows = rollup_from_fams(fams, cap_seq)
@@ -345,12 +353,13 @@ class DeviceFamilyScorer:
 
     def score_family_packed(self, offsets, lengths, params,
                             calls_per_seq_cap: int = 4,
-                            fams_per_seq_cap: int | None = None):
+                            fams_per_seq_cap: int | None = None,
+                            slim_calls: bool = False):
         """Fused calls + family rollup (one probe, one dispatch).
         Returns (calls_dev, call_cap, rows_dev, cap_seq) — both device
         buffers un-transferred for pipelining.  calls_dev parses with
-        device_score.DeviceScorer.unpack_dense, rows_dev with
-        finish_rollup_rows."""
+        device_score.DeviceScorer.unpack_dense (unpack_dense3 when
+        slim_calls), rows_dev with finish_rollup_rows."""
         if fams_per_seq_cap is None:
             fams_per_seq_cap = self._default_cap
         d = self.ddb
@@ -361,7 +370,7 @@ class DeviceFamilyScorer:
             params.min_hits, params.min_weighted_hits, params.max_gap,
             params.order_constraint, call_cap, fams_per_seq_cap,
             d.lo_wide, d.payload_wide, d.wide_w, d.sub_header,
-            d.sub_blocks, d.sub_w, d.fused_wide, d.fused_w)
+            d.sub_blocks, d.sub_w, d.fused_wide, d.fused_w, slim_calls)
         return calls_out, call_cap, rows, fams_per_seq_cap
 
     def _rollup(self, offsets: np.ndarray, lengths: np.ndarray,

@@ -524,6 +524,31 @@ class DeviceScorer:
         cs, ce, cc, cf, cw_bits = dense
         return n_calls, cs, ce, cc, cf, cw_bits.view(np.float32)
 
+    @staticmethod
+    def unpack_dense3(out: np.ndarray, B: int, cap: int):
+        """Slim-pack variant (3 planes: count, fi, wt-bits — the
+        best-match path's calls, device_family._score_family_jit
+        slim_calls=True).  Returns (n_calls, cc, cf, cw) or None on cap
+        overflow; start/end are not present (the best-call reduction
+        never reads them)."""
+        n_calls = out[:B]
+        total = int(n_calls.sum())
+        pack = out[B:].reshape(3, -1)
+        if total > pack.shape[1]:
+            return None
+        maxc = max(1, int(n_calls.max()) if B else 1)
+        rows = np.repeat(np.arange(B), n_calls)
+        row_off = np.zeros(B + 1, dtype=np.int64)
+        np.cumsum(n_calls, out=row_off[1:])
+        cols = np.arange(total) - row_off[rows]
+        dense = []
+        for j in range(3):
+            d = np.zeros((B, maxc), dtype=np.int32)
+            d[rows, cols] = pack[j, :total]
+            dense.append(d)
+        cc, cf, cw_bits = dense
+        return n_calls, cc, cf, cw_bits.view(np.float32)
+
     def best_batch_packed(self, offsets, lengths,
                           params: EngineParams | None = None):
         """Fully-fused best-call path: probe + scan + device

@@ -263,20 +263,13 @@ def find_best_family_matches_batch(
         else:
             scalar_rows = []          # ambiguous degrades to hypothetical
 
-        def out_fn(s: int) -> str:
-            if called[s]:
-                return bests.functions[int(fi0[s])] \
-                    if 0 <= fi0[s] < len(bests.functions) else "INVALID_OFFSET"
-            if is_amb[s]:
-                f1 = bests.functions[int(bests.ofi[s, 0])]
-                f2 = bests.functions[int(bests.ofi[s, 1])]
-                if f2 > f1:
-                    f1, f2 = f2, f1
-                fn, _a, _d = resolve_best_call_function(
-                    O.BestCall(-1, f"{f1} ?? {f2}", 0.0, 0.0, 0.0),
-                    allow_ambiguous)
-                return fn
-            return "hypothetical protein"
+        # output function column: called rows name their function, all
+        # other rows resolve to "hypothetical protein" (ambiguous rows
+        # under allow_ambiguous are overwritten by the scalar path)
+        nfn = len(bests.functions)
+        fn_col = [bests.functions[f] if (c and 0 <= f < nfn)
+                  else ("INVALID_OFFSET" if c else "hypothetical protein")
+                  for f, c in zip(fi0.tolist(), called.tolist())]
 
         scalar_best = bests.best_call
     else:
@@ -297,8 +290,7 @@ def find_best_family_matches_batch(
             else:
                 bestfn_idx[s] = func_intern.get(fn, -1)
 
-        def out_fn(s: int) -> str:
-            return bestfn[s]
+        fn_col = bestfn
 
         def scalar_best(s: int) -> O.BestCall:
             return bests[s]
@@ -349,18 +341,27 @@ def find_best_family_matches_batch(
     gfirst = np.full(S, G, dtype=np.int64)
     np.minimum.at(gfirst, gr, gcand)
 
-    out: list[BestMatch] = []
-    for s in range(S):
-        m = BestMatch(function=out_fn(s), score=float(scoreA[s]),
-                      weighted_score=float(weightedA[s]))
-        if lfirst[s] < N and lmax[s] > np.float32(0.0):
-            k = int(lfirst[s])
-            m.lfam_id = plf_names[int(fam_o[k])]
-            m.lfam_score = float(wt_o[k])
-        if gfirst[s] < G and gmax[s] > np.float32(0.0):
-            m.gfam_id = pgf_names[int(gp[int(gfirst[s])])]
-            m.gfam_score = float(gmax[s])
-        out.append(m)
+    # Column-wise BestMatch construction: the per-row Python loop was
+    # ~99% of this function's time at serving batch sizes (cProfile:
+    # 0.39 s of 0.40 for 32k rows); string columns come from gated list
+    # comps and the object build is one C-level map over columns.
+    lvalid = (lfirst < N) & (lmax > np.float32(0.0))
+    lk = np.where(lvalid, lfirst, 0)
+    lfam_idx = fam_o[lk] if N else np.zeros(S, np.int64)
+    lscore_col = np.where(lvalid, wt_o[lk] if N else 0.0, np.float32(0.0))
+    plf_col = [plf_names[i] if v else ""
+               for i, v in zip(lfam_idx.tolist(), lvalid.tolist())]
+    gvalid = (gfirst < G) & (gmax > np.float32(0.0))
+    gk = np.where(gvalid, gfirst, 0)
+    gpgf_idx = gp[gk] if G else np.zeros(S, np.int64)
+    gscore_col = np.where(gvalid, gmax, np.float32(0.0))
+    pgf_col = [pgf_names[i] if v else ""
+               for i, v in zip(gpgf_idx.tolist(), gvalid.tolist())]
+    out: list[BestMatch] = list(map(
+        BestMatch, pgf_col, gscore_col.astype(np.float64).tolist(),
+        plf_col, lscore_col.astype(np.float64).tolist(),
+        fn_col, scoreA.astype(np.float64).tolist(),
+        weightedA.astype(np.float64).tolist()))
 
     if scalar_rows:
         row_off = np.zeros(S + 1, dtype=np.int64)

@@ -53,7 +53,13 @@ class SignatureDB:
     def __init__(self, keys: np.ndarray, fi: np.ndarray, oi: np.ndarray,
                  avg_off: np.ndarray, wt: np.ndarray,
                  functions: list[str] | None = None,
-                 otus: list[str] | None = None):
+                 otus: list[str] | None = None,
+                 n_hi: int | None = None):
+        """``n_hi``: hi-bucket span (default HI_CARD).  A shard of a
+        range-sharded DB rebases its keys to a local hi window so every
+        bucket-indexed device table scales with the shard's span, not
+        the global 20^5 — required at 1e9-key scale where per-bucket
+        rows over all of HI_CARD would dwarf the shard itself."""
         keys = np.asarray(keys, dtype=np.int64)
         if len(keys) == 0 or (np.diff(keys) > 0).all():
             order = slice(None)  # already strictly sorted (fast path)
@@ -67,10 +73,11 @@ class SignatureDB:
         self.oi = np.asarray(oi, dtype=np.int32)[order]
         self.avg_off = np.asarray(avg_off, dtype=np.int32)[order]
         self.wt = np.asarray(wt, dtype=np.float32)[order]
+        self.n_hi = int(n_hi) if n_hi is not None else HI_CARD
         self.hi = (keys // LO_CARD).astype(np.int32)
         self.lo = (keys % LO_CARD).astype(np.int32)
-        counts = np.bincount(self.hi, minlength=HI_CARD)
-        self.bucket_start = np.zeros(HI_CARD + 1, dtype=np.int32)
+        counts = np.bincount(self.hi, minlength=self.n_hi)
+        self.bucket_start = np.zeros(self.n_hi + 1, dtype=np.int32)
         np.cumsum(counts, out=self.bucket_start[1:])
         self.max_bucket = int(counts.max()) if len(keys) else 0
         self.functions: list[str] = functions or []

@@ -74,7 +74,12 @@ def score_batch(pos, fi, oi, avg_off, wt, row_off, params,
 
 def best_call_batch(n_calls, cs, ce, cc, cf, cw):
     """Top-3 per-function reduction for find_best_call; returns
-    (n_funcs[n_seqs], fi[n_seqs,3], count[n_seqs,3], wt[n_seqs,3])."""
+    (n_funcs[n_seqs], fi[n_seqs,3], count[n_seqs,3], wt[n_seqs,3]).
+    ``cs``/``ce`` may be None (the slim calls pack): the C reduction
+    never reads call positions (kguts.cc:1023-1139 collapses on fi and
+    sums counts/weights only), so the count plane stands in."""
+    if cs is None:
+        cs = ce = cc
     n_seqs, max_calls = cs.shape
     nf = np.zeros(n_seqs, dtype=np.int32)
     ofi = np.zeros((n_seqs, 3), dtype=np.int32)

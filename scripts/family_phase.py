@@ -82,7 +82,7 @@ def main():
             ccap = getattr(dfs, "_bm_ccap", 1)
             gcap = getattr(dfs, "_bm_gps", 2) * CH
             calls_dev, call_cap, rows_dev, _ = dfs.score_family_packed(
-                c_off, c_len, params, ccap, -gcap)
+                c_off, c_len, params, ccap, -gcap, slim_calls=True)
             pending.append((calls_dev, call_cap, rows_dev, gcap, len(c_off)))
         t_disp = time.time() - t0
 
@@ -97,21 +97,27 @@ def main():
         bounds = np.zeros(len(sizes) + 1, dtype=np.int64)
         np.cumsum(sizes, out=bounds[1:])
         host = [joined[bounds[i]:bounds[i + 1]] for i in range(len(sizes))]
+        t_unpack = t_bc = 0.0
         reds, rolls = [], []
         for ci, (calls_dev, call_cap, rows_dev, gcap, nn) in \
                 enumerate(pending):
-            dense = DeviceScorer.unpack_dense(host[2 * ci], CH, call_cap)
+            tu = time.time()
+            dense = DeviceScorer.unpack_dense3(host[2 * ci], CH, call_cap)
             roll = DeviceFamilyScorer.finish_rollup_global(
                 host[2 * ci + 1], CH, gcap)
             assert dense is not None and roll is not None, "cap overflow"
-            n_calls, cs, ce, cc, cf, cw = dense
+            t_unpack += time.time() - tu
+            n_calls, cc, cf, cw = dense
+            tb = time.time()
             nf, ofi, ocnt, owt = native.best_call_batch(
-                n_calls, cs, ce, cc, cf, cw)
+                n_calls, None, None, cc, cf, cw)
+            t_bc += time.time() - tb
             reds.append((nf[:nn], ofi[:nn], ocnt[:nn], owt[:nn]))
             n_per, fam, counts, weights, first = roll
             total = int(np.asarray(n_per[:nn]).sum())
             rolls.append((np.asarray(n_per[:nn]), fam[:total],
                           counts[:total], weights[:total], first[:total]))
+        tm = time.time()
         reduction = BestCallReduction(
             np.concatenate([r[0] for r in reds]),
             np.concatenate([r[1] for r in reds]),
@@ -126,12 +132,14 @@ def main():
             np.concatenate([r[3] for r in rolls]),
             np.concatenate([r[4] for r in rolls]),
             mapping)
+        t_match = time.time() - tm
         t_host = time.time() - t0
         dt = time.time() - t_pass
         placed = sum(1 for m in ms if m.gfam_id)
         print(f"pass {p}: {N} in {dt:.2f}s ({N/dt:.0f}/s) | "
               f"dispatch {t_disp:.2f} read {t_read:.2f} host {t_host:.2f} "
-              f"| placed {placed}", flush=True)
+              f"(unpack {t_unpack:.2f} bestcall {t_bc:.2f} "
+              f"match {t_match:.2f}) | placed {placed}", flush=True)
 
 
 if __name__ == "__main__":
