@@ -29,13 +29,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ALPHA = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
 
+# Approximate natural amino-acid frequencies (UniProt/Swiss-Prot order
+# matched to ALPHA): biased sampling skews the hi-bucket occupancy the
+# way real PATRIC proteins do (deep buckets around common-aa prefixes,
+# cf. the reference's bucket statistics kguts.h:259-261) instead of the
+# uniform ~Poisson depths a flat-random corpus produces.
+AA_FREQ = np.array([8.25, 1.38, 5.45, 6.75, 3.86, 7.07, 2.27, 5.96, 5.84,
+                    9.66, 2.42, 4.06, 4.70, 3.93, 5.53, 6.56, 5.34, 6.87,
+                    1.08, 2.92])
+AA_FREQ = AA_FREQ / AA_FREQ.sum()
+
 
 def peak_rss_gb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
 
 def gen_corpus(corpus_dir: str, n_genomes: int, prots_per_genome: int,
-               prot_len: int, n_funcs: int) -> list[str]:
+               prot_len: int, n_funcs: int, aa_bias: bool = False) -> list[str]:
     os.makedirs(corpus_dir, exist_ok=True)
     files = []
     for g in range(n_genomes):
@@ -44,8 +54,9 @@ def gen_corpus(corpus_dir: str, n_genomes: int, prots_per_genome: int,
         if os.path.exists(path):
             continue
         rng = np.random.default_rng(1000 + g)
-        chars = ALPHA[rng.integers(0, 20,
-                                   size=prots_per_genome * prot_len)]
+        probs = AA_FREQ if aa_bias else None
+        chars = ALPHA[rng.choice(20, size=prots_per_genome * prot_len,
+                                 p=probs)]
         chars = chars.reshape(prots_per_genome, prot_len)
         with open(path, "w") as f:
             for p in range(prots_per_genome):
@@ -65,6 +76,9 @@ def main() -> int:
     ap.add_argument("--prot-len", type=int, default=258)
     ap.add_argument("--n-funcs", type=int, default=2000)
     ap.add_argument("--buffer-records", type=int, default=16_000_000)
+    ap.add_argument("--aa-bias", action="store_true",
+                    help="sample residues at natural aa frequencies "
+                         "(PATRIC-like skewed bucket depths)")
     args = ap.parse_args()
 
     from close_kmers_tpu.db.builder import build_signature_kmers_external
@@ -78,7 +92,8 @@ def main() -> int:
 
     t0 = time.time()
     files = gen_corpus(os.path.join(args.out, "corpus"), args.n_genomes,
-                       prots_per_genome, args.prot_len, args.n_funcs)
+                       prots_per_genome, args.prot_len, args.n_funcs,
+                       aa_bias=args.aa_bias)
     t_corpus = time.time() - t0
     print(f"corpus: {args.n_genomes} genomes x {prots_per_genome} proteins "
           f"x {args.prot_len} aa in {t_corpus:.0f}s", flush=True)
