@@ -223,8 +223,12 @@ def bench_family(db, offsets, lengths, rng):
                    f"fn{f // 3}", f, 10, 10) for f in range(3 * n_funcs)]
 
     eng = KmerEngine(dbf)
+    # Same workload size as the /query bench: with grouped-readback
+    # pipelining (api.best_family_matches_padded), larger requests
+    # amortize the relay's per-transfer latency floor exactly like
+    # bench_tpu's GROUP scheme does.
     items = [(f"p{i}", offsets[i, :int(lengths[i])])
-             for i in range(min(N_QUERY, 4 * BATCH))]
+             for i in range(N_QUERY)]
     t0 = time.time()
     eng.best_family_matches(items[:BATCH], mapping)
     log(f"family warmup+compile {time.time()-t0:.1f}s")

@@ -323,8 +323,10 @@ class KmerEngine:
         CH = self.FAMILY_MATCH_CHUNK
         B = CH if B0 > CH else max(256, 1 << max(B0 - 1, 0).bit_length())
         lengths = np.asarray(lengths, dtype=np.int32)
-        pending = []
-        for a in range(0, B0, B):
+        import jax.numpy as jnp
+        from .family import BestCallReduction
+
+        def dispatch(a):
             c_off = offsets[a:a + B]
             c_len = lengths[a:a + B]
             n = c_off.shape[0]
@@ -337,59 +339,79 @@ class KmerEngine:
             gcap = getattr(dfs, "_bm_gps", 2) * B
             calls_dev, call_cap, rows_dev, _ = dfs.score_family_packed(
                 c_off, c_len, params, ccap, -gcap, slim_calls=True)
-            pending.append((c_off, c_len, n, calls_dev, call_cap,
-                            rows_dev, gcap))
-
-        # One grouped D2H for the whole request: the relay wire has a
-        # ~0.3-0.4 s per-transfer latency floor (PERF.md), so reading
-        # each chunk's two packs separately costs 4x per 2 chunks; a
-        # device-side concatenate makes it a single transfer.  Overflow
-        # retries (rare) fall back to per-chunk readbacks below.
-        import jax.numpy as jnp
-        flats = [x for p in pending for x in (p[3], p[5])]
-        joined = np.asarray(jnp.concatenate(flats)) if len(flats) > 1 \
-            else np.asarray(flats[0])
-        sizes = [int(x.shape[0]) for x in flats]
-        bounds = np.zeros(len(sizes) + 1, dtype=np.int64)
-        np.cumsum(sizes, out=bounds[1:])
-        host = [joined[bounds[i]:bounds[i + 1]]
-                for i in range(len(sizes))]
-
-        from .family import BestCallReduction
+            return (c_off, c_len, n, calls_dev, call_cap, rows_dev, gcap)
 
         reds = []
         rolls = []
-        for ci, (offsets, lengths, n, calls_dev, call_cap, rows_dev, gcap) \
-                in enumerate(pending):
-            calls_np = host[2 * ci]
-            rows_np = host[2 * ci + 1]
-            while True:
-                dense = DeviceScorer.unpack_dense3(calls_np, B, call_cap)
-                roll = DeviceFamilyScorer.finish_rollup_global(
-                    rows_np, B, gcap)
-                if dense is not None and roll is not None:
-                    break
-                if dense is None:
-                    need = -(-int(calls_np[:B].sum()) // B)
-                    dfs._bm_ccap = max(call_cap // B * 4, need)
-                if roll is None:
-                    need = -(-int(rows_np[:B].sum()) // B)
-                    dfs._bm_gps = max(gcap // B * 4, need)
-                calls_dev, call_cap, rows_dev, _ = dfs.score_family_packed(
-                    offsets, lengths, params,
-                    getattr(dfs, "_bm_ccap", 1),
-                    -getattr(dfs, "_bm_gps", 2) * B, slim_calls=True)
-                gcap = getattr(dfs, "_bm_gps", 2) * B
-                calls_np = np.asarray(calls_dev)
-                rows_np = np.asarray(rows_dev)
-            n_calls, cc, cf, cw = dense
-            nf, ofi, ocnt, owt = native.best_call_batch(n_calls, None, None,
-                                                        cc, cf, cw)
-            reds.append((nf[:n], ofi[:n], ocnt[:n], owt[:n]))
-            n_per, fam, counts, weights, first = roll
-            total = int(np.asarray(n_per[:n]).sum())
-            rolls.append((np.asarray(n_per[:n]), fam[:total], counts[:total],
-                          weights[:total], first[:total]))
+
+        def process_group(group):
+            # One grouped D2H per group: the relay wire has a ~0.3-0.4 s
+            # per-transfer latency floor (PERF.md), so reading each
+            # chunk's two packs separately costs 4x per 2 chunks; a
+            # device-side concatenate makes it a single transfer.
+            # Overflow retries (rare) fall back to per-chunk readbacks.
+            flats = [x for p in group for x in (p[3], p[5])]
+            joined = np.asarray(jnp.concatenate(flats)) if len(flats) > 1 \
+                else np.asarray(flats[0])
+            sizes = [int(x.shape[0]) for x in flats]
+            bounds = np.zeros(len(sizes) + 1, dtype=np.int64)
+            np.cumsum(sizes, out=bounds[1:])
+            host = [joined[bounds[i]:bounds[i + 1]]
+                    for i in range(len(sizes))]
+            for ci, (c_off, c_len, n, calls_dev, call_cap, rows_dev,
+                     gcap) in enumerate(group):
+                calls_np = host[2 * ci]
+                rows_np = host[2 * ci + 1]
+                while True:
+                    dense = DeviceScorer.unpack_dense3(calls_np, B, call_cap)
+                    roll = DeviceFamilyScorer.finish_rollup_global(
+                        rows_np, B, gcap)
+                    if dense is not None and roll is not None:
+                        break
+                    if dense is None:
+                        need = -(-int(calls_np[:B].sum()) // B)
+                        dfs._bm_ccap = max(call_cap // B * 4, need)
+                    if roll is None:
+                        need = -(-int(rows_np[:B].sum()) // B)
+                        dfs._bm_gps = max(gcap // B * 4, need)
+                    calls_dev, call_cap, rows_dev, _ = \
+                        dfs.score_family_packed(
+                            c_off, c_len, params,
+                            getattr(dfs, "_bm_ccap", 1),
+                            -getattr(dfs, "_bm_gps", 2) * B,
+                            slim_calls=True)
+                    gcap = getattr(dfs, "_bm_gps", 2) * B
+                    calls_np = np.asarray(calls_dev)
+                    rows_np = np.asarray(rows_dev)
+                n_calls, cc, cf, cw = dense
+                nf, ofi, ocnt, owt = native.best_call_batch(
+                    n_calls, None, None, cc, cf, cw)
+                reds.append((nf[:n], ofi[:n], ocnt[:n], owt[:n]))
+                n_per, fam, counts, weights, first = roll
+                total = int(np.asarray(n_per[:n]).sum())
+                rolls.append((np.asarray(n_per[:n]), fam[:total],
+                              counts[:total], weights[:total],
+                              first[:total]))
+
+        # Pipeline grouped readbacks against later dispatches: a group's
+        # D2H (which blocks on its device compute AND pays the relay's
+        # per-transfer floor) is issued only after the NEXT group's
+        # chunks are dispatched, so the wire read of group k overlaps
+        # the device compute of group k+1.  Small requests (<= GROUP
+        # chunks) still get exactly one grouped read.
+        GROUP = self.FAMILY_MATCH_GROUP
+        pending = []
+        ready = None
+        for a in range(0, B0, B):
+            pending.append(dispatch(a))
+            if len(pending) >= GROUP:
+                if ready is not None:
+                    process_group(ready)
+                ready = pending
+                pending = []
+        for group in (ready, pending):
+            if group:
+                process_group(group)
 
         reduction = BestCallReduction(
             np.concatenate([r[0] for r in reds]),
@@ -408,6 +430,7 @@ class KmerEngine:
             genus_filter)
 
     FAMILY_MATCH_CHUNK = 16384
+    FAMILY_MATCH_GROUP = 2   # chunks per grouped D2H (see process_group)
 
     def family_scores_batch(self, mapping, h=None) -> tuple:
         """Per-sequence family score accumulation against ``mapping``'s

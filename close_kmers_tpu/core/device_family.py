@@ -44,8 +44,15 @@ class DeviceFamilyDB:
     fam: jax.Array      # i32[N+1, D] family ids, -1 padded
     d: int
 
+    # famwide probe-row gate: the folded table costs H*(3+D)*W*4 bytes,
+    # which is H-dominated waste for small DBs — auto-on only at scale
+    FAMWIDE_MAX_BYTES = 3 << 30
+    FAMWIDE_MAX_D = 8
+    FAMWIDE_MIN_KEYS = 1_000_000
+
     @classmethod
-    def from_mapping(cls, db: SignatureDB, mapping, device=None) -> "DeviceFamilyDB":
+    def _dense_fam(cls, db: SignatureDB, mapping):
+        """[N+1, D] densified per-DB-row family lists (-1 padded)."""
         keys, offs, vals = mapping.fam_csr()
         n = len(db)
         rows = np.searchsorted(db.keys, keys)
@@ -60,8 +67,53 @@ class DeviceFamilyDB:
         for j in range(D):
             m = ok & (counts > j)
             fam[rows[m], j] = vals[offs[:-1][m] + j]
+        return fam, D
+
+    @classmethod
+    def from_mapping(cls, db: SignatureDB, mapping, device=None) -> "DeviceFamilyDB":
+        fam, D = cls._dense_fam(db, mapping)
         put = functools.partial(jax.device_put, device=device)
         return cls(put(jnp.asarray(fam)), D)
+
+    @classmethod
+    def famwide_from_mapping(cls, db: SignatureDB, mapping, device=None,
+                             force: bool | None = None):
+        """Folded family probe rows: [lo xW | fi xW | wt-bits xW |
+        fam_0 xW .. fam_{D-1} xW] per hi bucket, so the FUSED family
+        program needs ONE gather total — no separate [N+1, D] family-row
+        gather (which costs the same per-row issue time as the probe
+        itself, PERF.md round-3 decomposition: +14.3 ms of 44.3 at
+        B=8192).  oi/avg_off are not carried: the family path never
+        reads oi, and avg_off only under order_constraint (callers fall
+        back to the two-gather path then).  Returns (jax.Array [H,
+        (3+D)*W], W, D) or None when the byte gate trips (``force=True``
+        overrides for tests, ``force=False`` disables)."""
+        if force is False:
+            return None
+        fam, D = cls._dense_fam(db, mapping)
+        n = len(db)
+        H = db.n_hi
+        W = max(1, int(db.max_bucket))
+        if not n:
+            return None
+        if force is None and (D > cls.FAMWIDE_MAX_D
+                              or n < cls.FAMWIDE_MIN_KEYS
+                              or H * (3 + D) * W * 4 > cls.FAMWIDE_MAX_BYTES):
+            return None
+        row_w = (3 + D) * W
+        tab = np.zeros((H, row_w), dtype=np.int32)
+        tab[:, :W] = 2 ** 30                 # lo sentinel: never matches
+        rank = np.arange(n, dtype=np.int64) \
+            - db.bucket_start[db.hi].astype(np.int64)
+        base = db.hi.astype(np.int64) * row_w + rank
+        flat = tab.reshape(-1)
+        flat[base] = db.lo
+        flat[base + W] = db.fi
+        flat[base + 2 * W] = db.wt.view(np.int32)
+        for p in range(D):
+            flat[base + (3 + p) * W] = fam[:n, p]
+        put = functools.partial(jax.device_put, device=device)
+        return put(jnp.asarray(tab)), W, D
 
 
 def _gather_fams(fam_tab, idx):
@@ -80,7 +132,7 @@ def _gather_fams(fam_tab, idx):
     return fam_tab[flat][:nflat].reshape(B, W, -1)
 
 
-def rollup_from_fams(fams, cap_seq: int):
+def rollup_from_fams(fams, cap_seq: int, row_cap: int = 0):
     """Shared rollup core: [B, W, D] gathered family rows (-1 = pad/miss)
     -> per-sequence (family, count, weighted) triples.  Used by the
     single-chip jit below and by the sharded annotation step
@@ -98,6 +150,17 @@ def rollup_from_fams(fams, cap_seq: int):
     buffer [B + 4*(-cap_seq)] of n_per_seq ++ fam/cnt/wt-bits/first
     planes packed across the whole batch (parse with
     DeviceFamilyScorer.finish_rollup_global).
+
+    ``row_cap > 0`` (global mode only) compacts hierarchically: per-row
+    to ``row_cap`` entries first, then a flat argsort over the B*row_cap
+    survivors instead of over all B*(W*D+1) emission flags — the flat
+    bitonic argsort at serving shapes (14.9M elements at B=16k) is the
+    single most expensive op in the fused family program, while the
+    row-local argsort is cheap (PERF.md sort measurements).  The packed
+    output is bit-identical to the flat path whenever every row has
+    <= row_cap groups; rows that overflow are detectable host-side
+    (n_per_seq carries true counts — finish_rollup_global returns None
+    so callers re-dispatch with a bigger row_cap).
     """
     B, W, D = fams.shape
     # 1/degree recomputed from the gathered row (degree = non-pad count);
@@ -166,6 +229,23 @@ def rollup_from_fams(fams, cap_seq: int):
         # needs, where the dense rows buffer dominates the wire.
         gcap = -cap_seq
         n_per_seq = emit.sum(axis=1, dtype=jnp.int32)
+        if row_cap > 0:
+            R = row_cap
+            order = jnp.argsort(~emit, axis=1, stable=True)[:, :R]
+            fam_d = jnp.take_along_axis(famc, order, axis=1)
+            cnt_d = jnp.take_along_axis(cntc, order, axis=1)
+            ws_d = jnp.take_along_axis(wsc, order, axis=1)
+            first_d = jnp.take_along_axis(firstc, order, axis=1)
+            emit2 = (jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
+                     < jnp.minimum(n_per_seq, R)[:, None]).reshape(-1)
+            order2 = jnp.argsort(~emit2, stable=True)[:gcap]
+            pack = jnp.stack([
+                fam_d.reshape(-1)[order2],
+                cnt_d.reshape(-1)[order2],
+                jax.lax.bitcast_convert_type(ws_d.reshape(-1)[order2],
+                                             jnp.int32),
+                first_d.reshape(-1)[order2]])
+            return jnp.concatenate([n_per_seq, pack.reshape(-1)])
         flat_emit = emit.reshape(-1)
         order = jnp.argsort(~flat_emit, stable=True)[:gcap]
         pack = jnp.stack([
@@ -217,13 +297,15 @@ def _family_rollup_jit(bucket_pair, lo_arr, payload,
     jax.jit,
     static_argnames=("min_hits", "min_weighted_hits", "max_gap",
                      "order_constraint", "call_cap", "cap_seq", "wide_w",
-                     "sub_w", "fused_w", "slim_calls"))
+                     "sub_w", "fused_w", "slim_calls", "row_cap",
+                     "fam_w", "fam_d"))
 def _score_family_jit(bucket_pair, lo_arr, payload, n, n_steps, fam_tab,
                       offsets, lengths, min_hits, min_weighted_hits,
                       max_gap, order_constraint, call_cap, cap_seq,
                       lo_wide=None, payload_wide=None, wide_w=0,
                       sub_header=None, sub_blocks=None, sub_w=0,
-                    fused_wide=None, fused_w=0, slim_calls=False):
+                    fused_wide=None, fused_w=0, slim_calls=False,
+                    row_cap=0, famwide=None, fam_w=0, fam_d=0):
     """The family-serving program: ONE probe feeding both the scoring
     scan (packed CALL buffer, same layout as device_score._probe_score_jit)
     and the family rollup (packed rows).  /lookup?find_best_match=1 needs
@@ -236,11 +318,45 @@ def _score_family_jit(bucket_pair, lo_arr, payload, n, n_steps, fam_tab,
     weights only) — a 40% cut of the calls D2H on a wire-bound link."""
     from .device_score import _scan_score
 
-    ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
-                   payload_wide, wide_w, sub_header, sub_blocks, sub_w,
-                   fused_wide, fused_w)
     hi, lo, valid = encode_windows(offsets, lengths)
-    found, p_fi, _oi, p_av, p_wt, idx = probe_windows(ddb, hi, lo, valid)
+    if famwide is not None:
+        # Folded single-gather path (famwide_from_mapping): the row
+        # carries lo/fi/wt AND the family lists, so neither the
+        # payload-wide probe nor the separate fam-row gather runs.
+        # avg_off is not carried — callers guarantee
+        # order_constraint=False on this path.
+        from .engine import _pad_flat_probes, _unpad_sel
+        assert not order_constraint
+        sh = hi.shape
+        hi_c = jnp.where(valid, hi, 0)
+        lo_c = jnp.where(valid, lo, -2)
+        hif, lof, nflat = _pad_flat_probes(hi_c.reshape(-1),
+                                           lo_c.reshape(-1))
+        row = famwide[hif]
+        Wd = fam_w
+        match = row[:, :Wd] == lof[:, None]
+        foundf = match.any(axis=-1)
+        m = match.astype(jnp.int32)
+
+        def pick(p):
+            return (row[:, p * Wd:(p + 1) * Wd] * m).sum(axis=-1)
+
+        sel = _unpad_sel((foundf, pick(1), pick(2))
+                         + tuple(pick(3 + p) for p in range(fam_d)), nflat)
+        found = valid & sel[0].reshape(sh)
+        p_fi = jnp.where(found, sel[1].reshape(sh), -1)
+        p_wt = jax.lax.bitcast_convert_type(
+            jnp.where(found, sel[2].reshape(sh), 0), jnp.float32)
+        p_av = jnp.zeros_like(p_fi)
+        fams = jnp.stack([jnp.where(found, sel[3 + p].reshape(sh), -1)
+                          for p in range(fam_d)], axis=-1)
+    else:
+        ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
+                       payload_wide, wide_w, sub_header, sub_blocks, sub_w,
+                       fused_wide, fused_w)
+        found, p_fi, _oi, p_av, p_wt, idx = probe_windows(ddb, hi, lo,
+                                                          valid)
+        fams = None
 
     emit, (c_start, c_end, c_cnt, c_fi, c_wt) = _scan_score(
         found, p_fi, p_av, p_wt, min_hits, min_weighted_hits, max_gap,
@@ -259,21 +375,29 @@ def _score_family_jit(bucket_pair, lo_arr, payload, n, n_steps, fam_tab,
     ]
     calls_out = jnp.concatenate([n_calls, jnp.stack(planes).reshape(-1)])
 
-    fams = _gather_fams(fam_tab, idx)
-    rows = rollup_from_fams(fams, cap_seq)
+    if fams is None:
+        fams = _gather_fams(fam_tab, idx)
+    rows = rollup_from_fams(fams, cap_seq, row_cap)
     return calls_out, rows
 
 
 class DeviceFamilyScorer:
     """Fused probe + family rollup engine."""
 
-    def __init__(self, db: SignatureDB, mapping, device=None, ddb=None):
+    def __init__(self, db: SignatureDB, mapping, device=None, ddb=None,
+                 famwide: bool | None = None):
         """``ddb``: share an existing DeviceDB (e.g. the serving
-        engine's) instead of re-uploading the signature arrays."""
+        engine's) instead of re-uploading the signature arrays.
+        ``famwide``: None = auto (byte gate), True/False = force the
+        folded single-gather family rows on/off."""
         self.db = db
         self.ddb = ddb if ddb is not None else DeviceDB.from_db(
             db, device=device)
         self.fdb = DeviceFamilyDB.from_mapping(db, mapping, device=device)
+        fw = DeviceFamilyDB.famwide_from_mapping(db, mapping, device=device,
+                                                 force=famwide)
+        self.famwide, self.fam_w, self.fam_d = fw if fw is not None \
+            else (None, 0, 0)
 
     def rollup(self, offsets: np.ndarray, lengths: np.ndarray,
                fams_per_seq_cap: int | None = None):
@@ -335,11 +459,16 @@ class DeviceFamilyScorer:
         return n_per_seq, run_f, counts, weights, first
 
     @staticmethod
-    def finish_rollup_global(flat_np: np.ndarray, B: int, gcap: int):
+    def finish_rollup_global(flat_np: np.ndarray, B: int, gcap: int,
+                             row_cap: int = 0):
         """Globally-packed rollup buffer (rollup_from_fams with negative
         cap: [B + 4*gcap]) -> same tuple as finish_rollup; None when the
-        batch's total group count overflows gcap."""
+        batch's total group count overflows gcap, or (hierarchical
+        packs) when any single row overflows row_cap."""
         n_per_seq = flat_np[:B]
+        if row_cap > 0 and len(n_per_seq) \
+                and int(n_per_seq.max(initial=0)) > row_cap:
+            return None
         total = int(n_per_seq.sum())
         # Size from the buffer, not `gcap`: the device packs
         # min(gcap, B*(W*D+1)) entries (argsort slice clamps), so an
@@ -354,23 +483,32 @@ class DeviceFamilyScorer:
     def score_family_packed(self, offsets, lengths, params,
                             calls_per_seq_cap: int = 4,
                             fams_per_seq_cap: int | None = None,
-                            slim_calls: bool = False):
+                            slim_calls: bool = False, row_cap: int = 0):
         """Fused calls + family rollup (one probe, one dispatch).
         Returns (calls_dev, call_cap, rows_dev, cap_seq) — both device
         buffers un-transferred for pipelining.  calls_dev parses with
         device_score.DeviceScorer.unpack_dense (unpack_dense3 when
-        slim_calls), rows_dev with finish_rollup_rows."""
+        slim_calls), rows_dev with finish_rollup_rows.  ``row_cap``:
+        hierarchical global compaction (see rollup_from_fams); pass the
+        same value to finish_rollup_global."""
         if fams_per_seq_cap is None:
             fams_per_seq_cap = self._default_cap
         d = self.ddb
         call_cap = offsets.shape[0] * calls_per_seq_cap
+        # the folded rows carry no avg_off plane, which order_constraint
+        # scoring needs — fall back to the two-gather path there
+        use_fw = self.famwide is not None and not params.order_constraint
         calls_out, rows = _score_family_jit(
             d.bucket_pair, d.lo, d.payload, d.n, d.n_steps, self.fdb.fam,
             jnp.asarray(offsets), jnp.asarray(lengths),
             params.min_hits, params.min_weighted_hits, params.max_gap,
             params.order_constraint, call_cap, fams_per_seq_cap,
             d.lo_wide, d.payload_wide, d.wide_w, d.sub_header,
-            d.sub_blocks, d.sub_w, d.fused_wide, d.fused_w, slim_calls)
+            d.sub_blocks, d.sub_w, d.fused_wide, d.fused_w, slim_calls,
+            row_cap,
+            self.famwide if use_fw else None,
+            self.fam_w if use_fw else 0,
+            self.fam_d if use_fw else 0)
         return calls_out, call_cap, rows, fams_per_seq_cap
 
     def _rollup(self, offsets: np.ndarray, lengths: np.ndarray,

@@ -344,7 +344,11 @@ class KmerFamilyMapping:
             if i < len(keys) and keys[i] == kmer:
                 out = [int(v) for v in vals[offs[i]:offs[i + 1]]]
         lst = self._kmer_to_fams.get(kmer)
-        return out + lst if lst is not None else out
+        if lst is None:
+            return out
+        # same bulk-first set semantics as fam_csr: a pair /add'ed before
+        # the NR ingest landed it in the bulk CSR must not appear twice
+        return out + [f for f in lst if f not in out]
 
     def pegs_of_kmer(self, kmer: int) -> list[int]:
         lst = self._kmer_to_pegs.get(kmer)

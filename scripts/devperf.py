@@ -199,11 +199,78 @@ def main():
         stages["family"] = stage_family
         fam_args = (fdb.fam,) + arrs
 
+    if which & {"fam_global", "fam_serve", "fam_serve_h",
+                "fam_serve_rows", "fam_serve_fw", "fam_gather"}:
+        # the exact serving programs (api.best_family_matches_padded):
+        # fused calls+rollup, slim calls, global vs per-row compaction
+        from close_kmers_tpu.core.device_family import (
+            _family_rollup_jit, _score_family_jit, _gather_fams,
+            DeviceFamilyDB)
+        from close_kmers_tpu.db.family_db import KmerFamilyMapping
+        n = len(db)
+        deg = rng.integers(1, 4, size=n)
+        offs2 = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(deg, out=offs2[1:])
+        vals = np.repeat(db.fi * 3, deg) + (
+            np.arange(offs2[-1]) % 3).astype(np.int32)
+        mapping = KmerFamilyMapping()
+        mapping._fam_csr = (db.keys, offs2, vals.astype(np.int32))
+        fdb = DeviceFamilyDB.from_mapping(db, mapping)
+
+        fw_tab = fam_w = fam_d = None
+        if "fam_serve_fw" in which:
+            fw_tab, fam_w, fam_d = DeviceFamilyDB.famwide_from_mapping(
+                db, mapping, force=True)
+
+        def mk(kind):
+            def stage(c, fam_tab, bp, lo_a, pay, lw, pw, sh, sb, off, ln):
+                if kind == "serve_fw":
+                    calls_out, rows = _score_family_jit(
+                        bp, lo_a, pay, len(db), ddb.n_steps, fam_tab,
+                        off, ln, PARAMS.min_hits, PARAMS.min_weighted_hits,
+                        PARAMS.max_gap, PARAMS.order_constraint, B, -2 * B,
+                        lw, pw, WIDE_W, sh, sb, SUB_W, None, 0, True, 0,
+                        fw_tab, fam_w, fam_d)
+                    return (c + calls_out[:B].sum().astype(jnp.float32)
+                            + rows.reshape(-1)[:B].sum().astype(jnp.float32))
+                if kind == "gather":
+                    ddb2 = DeviceDB(bp, lo_a, pay, ddb.n_steps, len(db),
+                                    lw, pw, WIDE_W, sh, sb, SUB_W)
+                    hi, lo, valid = encode_windows(off, ln)
+                    *_, idx = probe_windows(ddb2, hi, lo, valid)
+                    fams = _gather_fams(fam_tab, idx)
+                    return c + fams.sum().astype(jnp.float32)
+                if kind == "global":
+                    out = _family_rollup_jit(
+                        bp, lo_a, pay, len(db), ddb.n_steps, fam_tab,
+                        off, ln, -2 * B, lw, pw, WIDE_W, sh, sb, SUB_W)
+                    return c + out[:B].sum().astype(jnp.float32)
+                cap = 8 if kind == "rows" else -2 * B
+                rcap = 32 if kind == "serve_h" else 0
+                calls_out, rows = _score_family_jit(
+                    bp, lo_a, pay, len(db), ddb.n_steps, fam_tab, off, ln,
+                    PARAMS.min_hits, PARAMS.min_weighted_hits,
+                    PARAMS.max_gap, PARAMS.order_constraint, B, cap,
+                    lw, pw, WIDE_W, sh, sb, SUB_W, None, 0, True, rcap)
+                return (c + calls_out[:B].sum().astype(jnp.float32)
+                        + rows.reshape(-1)[:B].sum().astype(jnp.float32))
+            return stage
+
+        stages["fam_gather"] = mk("gather")
+        stages["fam_global"] = mk("global")
+        stages["fam_serve"] = mk("serve")
+        stages["fam_serve_h"] = mk("serve_h")
+        stages["fam_serve_rows"] = mk("rows")
+        stages["fam_serve_fw"] = mk("serve_fw")
+        fam_args = (fdb.fam,) + arrs
+
     results = {}
     for name in ("encode", "probe", "probe_raw", "scan", "compact", "best",
-                 "family"):
+                 "family", "fam_gather", "fam_global",
+                 "fam_serve_rows", "fam_serve", "fam_serve_h",
+                 "fam_serve_fw"):
         if name in which and name in stages:
-            if name == "family":
+            if name.startswith("fam"):
                 results[name] = measure(name, stages[name],
                                         *fam_args, d_off, d_len)
             else:

@@ -301,6 +301,84 @@ def main():
         del tbl
 
     WD = 22  # max bucket width of the bench DB
+
+    if "width1" in which:
+        # The VMEM-prefilter floor test: a presence lookup is a width-1
+        # gather (1 int per probe from a small table).  If this costs as
+        # much as the full 128-wide probe gather, a presence prefilter
+        # cannot beat the per-row issue bound on ANY hit-rate regime —
+        # the filter lookup itself already costs the whole probe.
+        tbl1 = jnp.asarray(rng.integers(0, 2, size=N_ROWS, dtype=np.int64)
+                           .astype(np.int32))
+
+        def g1(c, table, ix):
+            return c + table[ix].sum().astype(jnp.float32)
+
+        measure("width1", g1, tbl1, idx)
+        # packed-bitmap variant: 32 buckets per int32 (100 KB table),
+        # index = hi >> 5, then a per-lane bit test
+        tblb = jnp.asarray(rng.integers(0, 2 ** 31, size=N_ROWS // 32 + 1,
+                                        dtype=np.int64).astype(np.int32))
+
+        def gbit(c, table, ix):
+            w = table[ix >> 5]
+            return c + ((w >> (ix & 31)) & 1).sum().astype(jnp.float32)
+
+        measure("width1_bitmap", gbit, tblb, idx)
+
+    if "probe_planes192" in which:
+        # Plane-ALIGNED payload-wide row: each of the 6 fields gets its
+        # own 32-lane block ([start|pad][lo][fi][oi][avg][wt] = 192
+        # lanes), so the five selection slices start on lane boundaries.
+        # Tests whether the unaligned plane offsets (1, 23, 45, ...) of
+        # the 128-lane row are what make selection cost ~2x the raw
+        # gather (cf. the pallas_select lane-rotate finding).
+        PW = 32
+        tbl = np.full((N_ROWS, 192), -9, dtype=np.int32)
+        tbl[:, 0] = rng.integers(0, 100, size=N_ROWS)
+        for p in range(5):
+            tbl[:, PW * (p + 1):PW * (p + 1) + WD] = rng.integers(
+                0, 100, size=(N_ROWS, WD))
+        tbl_j = jnp.asarray(tbl)
+        lo_qa = jnp.asarray(rng.integers(0, 100, size=N_IDX,
+                                         dtype=np.int64).astype(np.int32))
+
+        def probe_aligned(c, table, ix, lo_q):
+            row = table[ix]
+            left = row[:, 0]
+            match = row[:, PW:PW + WD] == lo_q[:, None]
+            foundf = match.any(axis=-1)
+            m = match.astype(jnp.int32)
+
+            def pick(p):
+                return (row[:, PW * (p + 1):PW * (p + 1) + WD]
+                        * m).sum(axis=-1)
+
+            fif, oif, avf, wtb = pick(1), pick(2), pick(3), pick(4)
+            pos = jnp.argmax(match, axis=-1).astype(jnp.int32)
+            wt = jax.lax.bitcast_convert_type(wtb, jnp.float32)
+            return (c + jnp.where(foundf, fif, -1).sum().astype(jnp.float32)
+                    + oif.sum().astype(jnp.float32)
+                    + avf.sum().astype(jnp.float32) + wt.sum()
+                    + (left + pos).sum().astype(jnp.float32))
+
+        measure("probe_planes192", probe_aligned, tbl_j, idx, lo_qa)
+
+    if "gsort15m" in which:
+        # The family GLOBAL pack's flat compaction argsort at serving
+        # shape: B*(W*D+1) with B=16384, W=304, D=3 -> 14.96M bools.
+        B16 = 16384
+        n15 = B16 * (304 * 3 + 1)
+        emit15 = jnp.asarray(rng.random(n15) < 0.002)
+        vals15 = jnp.asarray(rng.integers(0, 100, size=n15, dtype=np.int64)
+                             .astype(np.int32))
+
+        def gsort(c, emit, vals):
+            order = jnp.argsort(~emit, stable=True)[:2 * B16]
+            return c + vals[order].sum().astype(jnp.float32)
+
+        measure("gsort15m", gsort, emit15, vals15)
+
     lo_q = jnp.asarray(rng.integers(0, 100, size=N_IDX, dtype=np.int64)
                        .astype(np.int32))
     for name, width in (("probe111", 1 + 5 * WD), ("probe128", 128)):

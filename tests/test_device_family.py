@@ -174,3 +174,104 @@ def test_device_rollup_sub_bucket_layout(setup):
     for x, y in zip(a, b):
         assert np.array_equal(np.asarray(x, dtype=np.float64),
                               np.asarray(y, dtype=np.float64))
+
+
+def test_best_match_group_pipelining(setup, monkeypatch):
+    """best_family_matches_padded's grouped-readback pipeline (chunks
+    split across several D2H groups, each overlapping the next group's
+    dispatch) must produce exactly the same matches as the single-group
+    path, including across the group boundary and a padded tail chunk."""
+    from close_kmers_tpu.core.api import KmerEngine
+
+    db, seqs, mapping = setup
+    items = [(f"q{i}", s) for i, s in enumerate(seqs)]
+    eng = KmerEngine(db, device_family=True, device_family_min=0)
+    assert eng._device_family_scorer(mapping) is not None
+    want = eng.best_family_matches(items, mapping, target_genus_id=83333)
+
+    # 24 seqs -> chunk B=8 -> 3 chunks -> 2 groups (2 + 1-with-pad-tail)
+    monkeypatch.setattr(KmerEngine, "FAMILY_MATCH_CHUNK", 8)
+    monkeypatch.setattr(KmerEngine, "FAMILY_MATCH_GROUP", 2)
+    got = eng.best_family_matches(items, mapping, target_genus_id=83333)
+    assert len(got) == len(want) == len(items)
+    for a, b in zip(want, got):
+        assert a == b
+
+
+def test_hierarchical_global_pack_identical(setup):
+    """rollup_from_fams(cap_seq<0, row_cap>0) must produce a buffer
+    bit-identical to the flat global pack whenever no row overflows
+    row_cap, and finish_rollup_global must flag row overflow."""
+    import jax.numpy as jnp
+    from close_kmers_tpu.core.device_family import (
+        DeviceFamilyDB, _gather_fams, rollup_from_fams)
+    from close_kmers_tpu.core.engine import (DeviceDB, FastAnnotator,
+                                             encode_windows, probe_windows)
+
+    db, seqs, mapping = setup
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    ddb = DeviceDB.from_db(db)
+    fdb = DeviceFamilyDB.from_mapping(db, mapping)
+    hi, lo, valid = encode_windows(jnp.asarray(offsets),
+                                   jnp.asarray(lengths))
+    *_, idx = probe_windows(ddb, hi, lo, valid)
+    fams = _gather_fams(fdb.fam, idx)
+    B = offsets.shape[0]
+    gcap = 64 * B
+    flat = np.asarray(rollup_from_fams(fams, -gcap))
+    hier = np.asarray(rollup_from_fams(fams, -gcap, row_cap=48))
+    n_per = flat[:B]
+    assert int(n_per.max()) <= 48 and int(n_per.sum()) > 50
+    total = int(n_per.sum())
+    assert np.array_equal(hier[:B], flat[:B])
+    fp = flat[B:].reshape(4, -1)[:, :total]
+    hp = hier[B:].reshape(4, -1)[:, :total]
+    assert np.array_equal(fp, hp)
+
+    # overflow detection: a row_cap below the max row count -> None
+    r = DeviceFamilyScorer.finish_rollup_global(
+        np.asarray(rollup_from_fams(fams, -gcap, row_cap=1)), B, gcap,
+        row_cap=1)
+    if int(n_per.max()) > 1:
+        assert r is None
+    ok = DeviceFamilyScorer.finish_rollup_global(hier, B, gcap, row_cap=48)
+    assert ok is not None
+    want = DeviceFamilyScorer.finish_rollup_global(flat, B, gcap)
+    for a, b in zip(ok, want):
+        assert np.array_equal(a, b)
+
+
+def test_famwide_path_identical(setup):
+    """The folded single-gather family rows (famwide_from_mapping) must
+    make score_family_packed produce buffers bit-identical to the
+    two-gather path, and best_family_matches must agree end-to-end."""
+    from close_kmers_tpu.core.api import KmerEngine
+    from close_kmers_tpu.core.engine import FastAnnotator
+    from close_kmers_tpu.params import EngineParams
+
+    db, seqs, mapping = setup
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    params = EngineParams()
+    base = DeviceFamilyScorer(db, mapping, famwide=False)
+    fw = DeviceFamilyScorer(db, mapping, famwide=True)
+    assert base.famwide is None and fw.famwide is not None
+    B = offsets.shape[0]
+    for cap in (4 * B, -4 * B):
+        a_calls, acap, a_rows, _ = base.score_family_packed(
+            offsets, lengths, params, 4, cap, slim_calls=True)
+        b_calls, bcap, b_rows, _ = fw.score_family_packed(
+            offsets, lengths, params, 4, cap, slim_calls=True)
+        assert acap == bcap
+        assert np.array_equal(np.asarray(a_calls), np.asarray(b_calls))
+        assert np.array_equal(np.asarray(a_rows), np.asarray(b_rows))
+
+    # order_constraint falls back to the two-gather path (no avg plane)
+    oc = EngineParams(order_constraint=True)
+    c_calls, ccap2, c_rows, _ = fw.score_family_packed(
+        offsets, lengths, oc, 4, 4 * B, slim_calls=True)
+    d_calls, dcap2, d_rows, _ = base.score_family_packed(
+        offsets, lengths, oc, 4, 4 * B, slim_calls=True)
+    assert np.array_equal(np.asarray(c_calls), np.asarray(d_calls))
+    assert np.array_equal(np.asarray(c_rows), np.asarray(d_rows))
