@@ -78,40 +78,50 @@ class DeviceFamilyDB:
     @classmethod
     def famwide_from_mapping(cls, db: SignatureDB, mapping, device=None,
                              force: bool | None = None):
-        """Folded family probe rows: [lo xW | fi xW | wt-bits xW |
-        fam_0 xW .. fam_{D-1} xW] per hi bucket, so the FUSED family
-        program needs ONE gather total — no separate [N+1, D] family-row
-        gather (which costs the same per-row issue time as the probe
-        itself, PERF.md round-3 decomposition: +14.3 ms of 44.3 at
-        B=8192).  oi/avg_off are not carried: the family path never
-        reads oi, and avg_off only under order_constraint (callers fall
-        back to the two-gather path then).  Returns (jax.Array [H,
-        (3+D)*W], W, D) or None when the byte gate trips (``force=True``
-        overrides for tests, ``force=False`` disables)."""
+        """Folded family probe rows: [(fi<<13|lo) xW | wt-bits xW |
+        fam_0 xW .. fam_{D-1} xW] per hi bucket, lane-padded to a
+        multiple of 128 ints, so the FUSED family program needs ONE
+        gather total — no separate [N+1, D] family-row gather (which
+        costs the same per-row issue time as the probe itself, PERF.md
+        round-3 decomposition).  fi packs with lo exactly like the
+        fused_wide scale layout (engine.DeviceDB.FUSED_LO_BITS; needs
+        fi < 2^18), which keeps the row at (2+D)*W ints — 110 -> 128
+        lanes at the bench DB's D=3, W=22; a naive 3-plane variant
+        measured 132-int rows, whose off-128 width gathers in the
+        pathological tiling class (67 vs 42 ms/batch, devperf
+        fam_serve_fw round 3).  oi/avg_off are not carried: the family
+        path never reads oi, and avg_off only under order_constraint
+        (callers fall back to the two-gather path then).  Returns
+        (jax.Array [H, row_w], W, D) or None when a gate trips
+        (``force=True`` overrides the byte/scale gates for tests,
+        ``force=False`` disables)."""
+        from .engine import DeviceDB as _DDB
         if force is False:
             return None
-        fam, D = cls._dense_fam(db, mapping)
         n = len(db)
-        H = db.n_hi
-        W = max(1, int(db.max_bucket))
         if not n:
             return None
+        fi_max = int(db.fi.max())
+        if fi_max >= (1 << (31 - _DDB.FUSED_LO_BITS)):
+            return None                      # fi won't pack beside lo
+        fam, D = cls._dense_fam(db, mapping)
+        H = db.n_hi
+        W = max(1, int(db.max_bucket))
+        row_w = -(-((2 + D) * W) // 128) * 128
         if force is None and (D > cls.FAMWIDE_MAX_D
                               or n < cls.FAMWIDE_MIN_KEYS
-                              or H * (3 + D) * W * 4 > cls.FAMWIDE_MAX_BYTES):
+                              or H * row_w * 4 > cls.FAMWIDE_MAX_BYTES):
             return None
-        row_w = (3 + D) * W
         tab = np.zeros((H, row_w), dtype=np.int32)
-        tab[:, :W] = 2 ** 30                 # lo sentinel: never matches
+        tab[:, :W] = _DDB.FUSED_SENTINEL     # packed-plane sentinel
         rank = np.arange(n, dtype=np.int64) \
             - db.bucket_start[db.hi].astype(np.int64)
         base = db.hi.astype(np.int64) * row_w + rank
         flat = tab.reshape(-1)
-        flat[base] = db.lo
-        flat[base + W] = db.fi
-        flat[base + 2 * W] = db.wt.view(np.int32)
+        flat[base] = (db.fi.astype(np.int64) << _DDB.FUSED_LO_BITS) | db.lo
+        flat[base + W] = db.wt.view(np.int32)
         for p in range(D):
-            flat[base + (3 + p) * W] = fam[:n, p]
+            flat[base + (2 + p) * W] = fam[:n, p]
         put = functools.partial(jax.device_put, device=device)
         return put(jnp.asarray(tab)), W, D
 
@@ -321,10 +331,11 @@ def _score_family_jit(bucket_pair, lo_arr, payload, n, n_steps, fam_tab,
     hi, lo, valid = encode_windows(offsets, lengths)
     if famwide is not None:
         # Folded single-gather path (famwide_from_mapping): the row
-        # carries lo/fi/wt AND the family lists, so neither the
+        # carries (fi<<13|lo)/wt AND the family lists, so neither the
         # payload-wide probe nor the separate fam-row gather runs.
         # avg_off is not carried — callers guarantee
         # order_constraint=False on this path.
+        from .engine import DeviceDB as _DDB
         from .engine import _pad_flat_probes, _unpad_sel
         assert not order_constraint
         sh = hi.shape
@@ -334,15 +345,18 @@ def _score_family_jit(bucket_pair, lo_arr, payload, n, n_steps, fam_tab,
                                            lo_c.reshape(-1))
         row = famwide[hif]
         Wd = fam_w
-        match = row[:, :Wd] == lof[:, None]
+        LMASK = (1 << _DDB.FUSED_LO_BITS) - 1
+        packed = row[:, :Wd]
+        match = (packed & LMASK) == (lof[:, None] & LMASK)
         foundf = match.any(axis=-1)
         m = match.astype(jnp.int32)
 
         def pick(p):
             return (row[:, p * Wd:(p + 1) * Wd] * m).sum(axis=-1)
 
-        sel = _unpad_sel((foundf, pick(1), pick(2))
-                         + tuple(pick(3 + p) for p in range(fam_d)), nflat)
+        fif_packed = (packed * m).sum(axis=-1) >> _DDB.FUSED_LO_BITS
+        sel = _unpad_sel((foundf, fif_packed, pick(1))
+                         + tuple(pick(2 + p) for p in range(fam_d)), nflat)
         found = valid & sel[0].reshape(sh)
         p_fi = jnp.where(found, sel[1].reshape(sh), -1)
         p_wt = jax.lax.bitcast_convert_type(
@@ -385,11 +399,15 @@ class DeviceFamilyScorer:
     """Fused probe + family rollup engine."""
 
     def __init__(self, db: SignatureDB, mapping, device=None, ddb=None,
-                 famwide: bool | None = None):
+                 famwide: bool | None = False):
         """``ddb``: share an existing DeviceDB (e.g. the serving
         engine's) instead of re-uploading the signature arrays.
-        ``famwide``: None = auto (byte gate), True/False = force the
-        folded single-gather family rows on/off."""
+        ``famwide``: folded single-gather family rows — measured SLOWER
+        than the two-gather path on v5e at bench shapes (54.2 vs
+        42.2 ms/16384: the fam-row gather is narrow and cheap, while
+        folding doubles the probe row's gathered bytes — see PERF.md
+        round 3), so the default is OFF; True forces it on (parity
+        tests / future chips), None = auto byte/scale gate."""
         self.db = db
         self.ddb = ddb if ddb is not None else DeviceDB.from_db(
             db, device=device)

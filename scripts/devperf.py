@@ -225,12 +225,17 @@ def main():
         def mk(kind):
             def stage(c, fam_tab, bp, lo_a, pay, lw, pw, sh, sb, off, ln):
                 if kind == "serve_fw":
+                    # fam_tab slot carries the FOLDED table (jit ARG, not
+                    # a closure capture — captured arrays embed as HLO
+                    # constants and the remote-compile service rejects
+                    # the GB-scale request body with HTTP 413); the
+                    # unused fam_tab jit param gets a small dummy.
                     calls_out, rows = _score_family_jit(
-                        bp, lo_a, pay, len(db), ddb.n_steps, fam_tab,
+                        bp, lo_a, pay, len(db), ddb.n_steps, pay,
                         off, ln, PARAMS.min_hits, PARAMS.min_weighted_hits,
                         PARAMS.max_gap, PARAMS.order_constraint, B, -2 * B,
                         lw, pw, WIDE_W, sh, sb, SUB_W, None, 0, True, 0,
-                        fw_tab, fam_w, fam_d)
+                        fam_tab, fam_w, fam_d)
                     return (c + calls_out[:B].sum().astype(jnp.float32)
                             + rows.reshape(-1)[:B].sum().astype(jnp.float32))
                 if kind == "gather":
@@ -270,7 +275,10 @@ def main():
                  "fam_serve_rows", "fam_serve", "fam_serve_h",
                  "fam_serve_fw"):
         if name in which and name in stages:
-            if name.startswith("fam"):
+            if name == "fam_serve_fw":
+                results[name] = measure(name, stages[name],
+                                        fw_tab, *fam_args[1:], d_off, d_len)
+            elif name.startswith("fam"):
                 results[name] = measure(name, stages[name],
                                         *fam_args, d_off, d_len)
             else:
