@@ -28,7 +28,7 @@ N_QUERY = int(os.environ.get("BENCH_N_QUERY", 65_536))  # more queries/pass amor
 BATCH = int(os.environ.get("BENCH_BATCH", 8192))
 N_CPU = int(os.environ.get("BENCH_N_CPU", 16384))      # baseline sample (large enough to exceed LLC)
 CALL_CAP = float(os.environ.get("BENCH_CALL_CAP", 2))  # calls/seq download cap
-PASSES = int(os.environ.get("BENCH_PASSES", 3))        # best-of-N (the relay wire rate swings ~2x)
+PASSES = int(os.environ.get("BENCH_PASSES", 5))        # best-of-N (the relay wire rate swings ~2x; passes are ~1s, warmup dominates)
 N_FUNCS = 4096
 CACHE = os.environ.get(
     "BENCH_CACHE",

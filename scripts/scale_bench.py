@@ -154,13 +154,25 @@ def main() -> int:
     tpu_rate = bench.bench_tpu(db, offsets, lengths)
     log(f"TPU: {tpu_rate:.0f} proteins/s ({time.time()-t0:.0f}s total)")
 
-    from close_kmers_tpu.core.engine import _lane_pad
-    row_w = _lane_pad(1 + db.max_bucket)
+    from close_kmers_tpu.core.engine import DeviceDB, _lane_pad
+    # replicate from_db's layout gates (engine.DeviceDB.from_db) so the
+    # artifact records the layout the run actually probed with
     H = len(db.bucket_start) - 1
+    WIDE = max(1, int(db.max_bucket))
+    fi_max = int(db.fi.max())
+    wide = 0 < db.max_bucket <= DeviceDB.WIDE_BUCKET_MAX
+    fused = (not wide and fi_max < (1 << (31 - DeviceDB.FUSED_LO_BITS))
+             and H * _lane_pad(1 + 2 * WIDE) * 4 <= DeviceDB.FUSED_MAX_BYTES)
+    if fused:
+        layout = "fused_packed(+payload for oi/avg)"
+        row_w = _lane_pad(1 + 2 * WIDE)
+    else:
+        layout = "lo_wide+payload"
+        row_w = _lane_pad(1 + WIDE)
     mem = dict(
         n_kmers=n,
-        layout="lo_wide+payload",
-        lo_wide_bytes=int(H * row_w * 4),
+        layout=layout,
+        table_bytes=int(H * row_w * 4),
         payload_bytes=int((n + 1) * 16),
         host_npz_bytes_per_key=24.0,
         device_bytes_per_key=round((H * row_w * 4 + (n + 1) * 16) / n, 2),
