@@ -358,14 +358,17 @@ class KmerEngine:
             np.cumsum(sizes, out=bounds[1:])
             host = [joined[bounds[i]:bounds[i + 1]]
                     for i in range(len(sizes))]
+            fold_calls, fold_rows = dfs.pack_flags(offsets.shape[1])
+            unpack_calls = DeviceScorer.unpack_dense2 if fold_calls \
+                else DeviceScorer.unpack_dense3
             for ci, (c_off, c_len, n, calls_dev, call_cap, rows_dev,
                      gcap) in enumerate(group):
                 calls_np = host[2 * ci]
                 rows_np = host[2 * ci + 1]
                 while True:
-                    dense = DeviceScorer.unpack_dense3(calls_np, B, call_cap)
+                    dense = unpack_calls(calls_np, B, call_cap)
                     roll = DeviceFamilyScorer.finish_rollup_global(
-                        rows_np, B, gcap)
+                        rows_np, B, gcap, folded=fold_rows)
                     if dense is not None and roll is not None:
                         break
                     if dense is None:

@@ -239,6 +239,13 @@ def rollup_from_fams(fams, cap_seq: int, row_cap: int = 0):
         # needs, where the dense rows buffer dominates the wire.
         gcap = -cap_seq
         n_per_seq = emit.sum(axis=1, dtype=jnp.int32)
+        # D2H slimming: when every (count, first-hit-position) pair fits
+        # 15+16 bits — W*D+1 < 2^15, true for all protein-serving shapes
+        # — fold them into ONE plane: the global pack ships 3 planes
+        # instead of 4 (the rows pack is the largest family-path D2H
+        # buffer; the relay moves ~5-9 MB/s).  finish_rollup_global
+        # splits them back (folded=True).
+        fold = (W * D + 1) < (1 << 15)
         if row_cap > 0:
             R = row_cap
             order = jnp.argsort(~emit, axis=1, stable=True)[:, :R]
@@ -249,21 +256,31 @@ def rollup_from_fams(fams, cap_seq: int, row_cap: int = 0):
             emit2 = (jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
                      < jnp.minimum(n_per_seq, R)[:, None]).reshape(-1)
             order2 = jnp.argsort(~emit2, stable=True)[:gcap]
-            pack = jnp.stack([
-                fam_d.reshape(-1)[order2],
-                cnt_d.reshape(-1)[order2],
-                jax.lax.bitcast_convert_type(ws_d.reshape(-1)[order2],
-                                             jnp.int32),
-                first_d.reshape(-1)[order2]])
-            return jnp.concatenate([n_per_seq, pack.reshape(-1)])
+            planes = [fam_d.reshape(-1)[order2]]
+            if fold:
+                planes.append((cnt_d.reshape(-1)[order2] << 16)
+                              | first_d.reshape(-1)[order2])
+            else:
+                planes.append(cnt_d.reshape(-1)[order2])
+            planes.append(jax.lax.bitcast_convert_type(
+                ws_d.reshape(-1)[order2], jnp.int32))
+            if not fold:
+                planes.append(first_d.reshape(-1)[order2])
+            return jnp.concatenate([n_per_seq, jnp.stack(planes)
+                                    .reshape(-1)])
         flat_emit = emit.reshape(-1)
         order = jnp.argsort(~flat_emit, stable=True)[:gcap]
-        pack = jnp.stack([
-            famc.reshape(-1)[order],
-            cntc.reshape(-1)[order],
-            jax.lax.bitcast_convert_type(wsc.reshape(-1)[order], jnp.int32),
-            firstc.reshape(-1)[order]])
-        return jnp.concatenate([n_per_seq, pack.reshape(-1)])
+        planes = [famc.reshape(-1)[order]]
+        if fold:
+            planes.append((cntc.reshape(-1)[order] << 16)
+                          | firstc.reshape(-1)[order])
+        else:
+            planes.append(cntc.reshape(-1)[order])
+        planes.append(jax.lax.bitcast_convert_type(wsc.reshape(-1)[order],
+                                                   jnp.int32))
+        if not fold:
+            planes.append(firstc.reshape(-1)[order])
+        return jnp.concatenate([n_per_seq, jnp.stack(planes).reshape(-1)])
 
     # Per-row compaction to [B, cap_seq]: emitted groups are already in
     # ascending-family column order, so a stable argsort on ~emit packs
@@ -308,14 +325,15 @@ def _family_rollup_jit(bucket_pair, lo_arr, payload,
     static_argnames=("min_hits", "min_weighted_hits", "max_gap",
                      "order_constraint", "call_cap", "cap_seq", "wide_w",
                      "sub_w", "fused_w", "slim_calls", "row_cap",
-                     "fam_w", "fam_d"))
+                     "fam_w", "fam_d", "fold_calls"))
 def _score_family_jit(bucket_pair, lo_arr, payload, n, n_steps, fam_tab,
                       offsets, lengths, min_hits, min_weighted_hits,
                       max_gap, order_constraint, call_cap, cap_seq,
                       lo_wide=None, payload_wide=None, wide_w=0,
                       sub_header=None, sub_blocks=None, sub_w=0,
                     fused_wide=None, fused_w=0, slim_calls=False,
-                    row_cap=0, famwide=None, fam_w=0, fam_d=0):
+                    row_cap=0, famwide=None, fam_w=0, fam_d=0,
+                    fold_calls=False):
     """The family-serving program: ONE probe feeding both the scoring
     scan (packed CALL buffer, same layout as device_score._probe_score_jit)
     and the family rollup (packed rows).  /lookup?find_best_match=1 needs
@@ -382,11 +400,23 @@ def _score_family_jit(bucket_pair, lo_arr, payload, n, n_steps, fam_tab,
         c_start.reshape(-1)[order].astype(jnp.int32),
         c_end.reshape(-1)[order].astype(jnp.int32),
     ]
-    planes += [
-        c_cnt.reshape(-1)[order].astype(jnp.int32),
-        c_fi.reshape(-1)[order].astype(jnp.int32),
-        jax.lax.bitcast_convert_type(c_wt.reshape(-1)[order], jnp.int32),
-    ]
+    if slim_calls and fold_calls:
+        # (count << 18) | fi in one plane: callers guarantee statically
+        # that counts fit 13 bits (W+1 < 2^13) and fi 18 bits — the slim
+        # CALL pack drops to 2 planes (unpack with unpack_dense2)
+        planes += [
+            (c_cnt.reshape(-1)[order].astype(jnp.int32) << 18)
+            | c_fi.reshape(-1)[order].astype(jnp.int32),
+            jax.lax.bitcast_convert_type(c_wt.reshape(-1)[order],
+                                         jnp.int32),
+        ]
+    else:
+        planes += [
+            c_cnt.reshape(-1)[order].astype(jnp.int32),
+            c_fi.reshape(-1)[order].astype(jnp.int32),
+            jax.lax.bitcast_convert_type(c_wt.reshape(-1)[order],
+                                         jnp.int32),
+        ]
     calls_out = jnp.concatenate([n_calls, jnp.stack(planes).reshape(-1)])
 
     if fams is None:
@@ -416,6 +446,8 @@ class DeviceFamilyScorer:
                                                  force=famwide)
         self.famwide, self.fam_w, self.fam_d = fw if fw is not None \
             else (None, 0, 0)
+        self._fi_fold_ok = (int(db.fi.max()) < (1 << 18)) if len(db) \
+            else True
 
     def rollup(self, offsets: np.ndarray, lengths: np.ndarray,
                fams_per_seq_cap: int | None = None):
@@ -478,9 +510,11 @@ class DeviceFamilyScorer:
 
     @staticmethod
     def finish_rollup_global(flat_np: np.ndarray, B: int, gcap: int,
-                             row_cap: int = 0):
+                             row_cap: int = 0, folded: bool = False):
         """Globally-packed rollup buffer (rollup_from_fams with negative
-        cap: [B + 4*gcap]) -> same tuple as finish_rollup; None when the
+        cap: [B + 4*gcap], or [B + 3*gcap] when the device folded
+        count|first into one plane — pass ``folded`` matching
+        pack_flags) -> same tuple as finish_rollup; None when the
         batch's total group count overflows gcap, or (hierarchical
         packs) when any single row overflows row_cap."""
         n_per_seq = flat_np[:B]
@@ -491,12 +525,26 @@ class DeviceFamilyScorer:
         # Size from the buffer, not `gcap`: the device packs
         # min(gcap, B*(W*D+1)) entries (argsort slice clamps), so an
         # over-escalated gcap must not turn into a reshape ValueError.
-        pack = flat_np[B:].reshape(4, -1)
+        pack = flat_np[B:].reshape(3 if folded else 4, -1)
         if total > pack.shape[1]:
             return None
         t = slice(0, total)
+        if folded:
+            return (n_per_seq, pack[0, t], pack[1, t] >> 16,
+                    pack[2, t].copy().view(np.float32),
+                    pack[1, t] & 0xFFFF)
         return (n_per_seq, pack[0, t], pack[1, t],
                 pack[2, t].copy().view(np.float32), pack[3, t])
+
+    def pack_flags(self, L: int) -> tuple[bool, bool]:
+        """Static D2H-fold flags for a padded width L: (fold_calls —
+        slim CALL pack ships (cnt<<18|fi, wt); fold_rows — rollup pack
+        ships (fam, cnt<<16|first, wt)).  Must match what the device
+        packed: the same arithmetic runs inside _score_family_jit /
+        rollup_from_fams on the static shapes."""
+        W = L - 8
+        return (self._fi_fold_ok and (W + 1) < (1 << 13),
+                (W * self.fdb.d + 1) < (1 << 15))
 
     def score_family_packed(self, offsets, lengths, params,
                             calls_per_seq_cap: int = 4,
@@ -516,6 +564,7 @@ class DeviceFamilyScorer:
         # the folded rows carry no avg_off plane, which order_constraint
         # scoring needs — fall back to the two-gather path there
         use_fw = self.famwide is not None and not params.order_constraint
+        fold_calls, _ = self.pack_flags(offsets.shape[1])
         calls_out, rows = _score_family_jit(
             d.bucket_pair, d.lo, d.payload, d.n, d.n_steps, self.fdb.fam,
             jnp.asarray(offsets), jnp.asarray(lengths),
@@ -526,7 +575,8 @@ class DeviceFamilyScorer:
             row_cap,
             self.famwide if use_fw else None,
             self.fam_w if use_fw else 0,
-            self.fam_d if use_fw else 0)
+            self.fam_d if use_fw else 0,
+            fold_calls and slim_calls)
         return calls_out, call_cap, rows, fams_per_seq_cap
 
     def _rollup(self, offsets: np.ndarray, lengths: np.ndarray,

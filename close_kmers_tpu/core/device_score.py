@@ -549,6 +549,31 @@ class DeviceScorer:
         cc, cf, cw_bits = dense
         return n_calls, cc, cf, cw_bits.view(np.float32)
 
+    @staticmethod
+    def unpack_dense2(out: np.ndarray, B: int, cap: int):
+        """Folded slim-pack variant (2 planes: cnt<<18|fi, wt-bits —
+        device_family._score_family_jit with fold_calls; see
+        DeviceFamilyScorer.pack_flags).  Returns (n_calls, cc, cf, cw)
+        or None on cap overflow."""
+        n_calls = out[:B]
+        total = int(n_calls.sum())
+        pack = out[B:].reshape(2, -1)
+        if total > pack.shape[1]:
+            return None
+        maxc = max(1, int(n_calls.max()) if B else 1)
+        rows = np.repeat(np.arange(B), n_calls)
+        row_off = np.zeros(B + 1, dtype=np.int64)
+        np.cumsum(n_calls, out=row_off[1:])
+        cols = np.arange(total) - row_off[rows]
+        dense = []
+        for j in range(2):
+            d = np.zeros((B, maxc), dtype=np.int32)
+            d[rows, cols] = pack[j, :total]
+            dense.append(d)
+        cnt_fi, cw_bits = dense
+        return (n_calls, cnt_fi >> 18, cnt_fi & ((1 << 18) - 1),
+                cw_bits.view(np.float32))
+
     def best_batch_packed(self, offsets, lengths,
                           params: EngineParams | None = None):
         """Fully-fused best-call path: probe + scan + device

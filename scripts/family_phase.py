@@ -99,12 +99,15 @@ def main():
         host = [joined[bounds[i]:bounds[i + 1]] for i in range(len(sizes))]
         t_unpack = t_bc = 0.0
         reds, rolls = [], []
+        fold_calls, fold_rows = dfs.pack_flags(off_all.shape[1])
+        unpack_calls = DeviceScorer.unpack_dense2 if fold_calls \
+            else DeviceScorer.unpack_dense3
         for ci, (calls_dev, call_cap, rows_dev, gcap, nn) in \
                 enumerate(pending):
             tu = time.time()
-            dense = DeviceScorer.unpack_dense3(host[2 * ci], CH, call_cap)
+            dense = unpack_calls(host[2 * ci], CH, call_cap)
             roll = DeviceFamilyScorer.finish_rollup_global(
-                host[2 * ci + 1], CH, gcap)
+                host[2 * ci + 1], CH, gcap, folded=fold_rows)
             assert dense is not None and roll is not None, "cap overflow"
             t_unpack += time.time() - tu
             n_calls, cc, cf, cw = dense

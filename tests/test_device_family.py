@@ -225,19 +225,27 @@ def test_hierarchical_global_pack_identical(setup):
     assert int(n_per.max()) <= 48 and int(n_per.sum()) > 50
     total = int(n_per.sum())
     assert np.array_equal(hier[:B], flat[:B])
-    fp = flat[B:].reshape(4, -1)[:, :total]
-    hp = hier[B:].reshape(4, -1)[:, :total]
+    nplanes = 3 if (fams.shape[1] * fams.shape[2] + 1) < (1 << 15) else 4
+    fp = flat[B:].reshape(nplanes, -1)[:, :total]
+    hp = hier[B:].reshape(nplanes, -1)[:, :total]
     assert np.array_equal(fp, hp)
+
+    # these shapes fold (cnt<<16|first) into one plane on device
+    Wp, D = fams.shape[1], fams.shape[2]
+    folded = (Wp * D + 1) < (1 << 15)
+    assert folded
 
     # overflow detection: a row_cap below the max row count -> None
     r = DeviceFamilyScorer.finish_rollup_global(
         np.asarray(rollup_from_fams(fams, -gcap, row_cap=1)), B, gcap,
-        row_cap=1)
+        row_cap=1, folded=folded)
     if int(n_per.max()) > 1:
         assert r is None
-    ok = DeviceFamilyScorer.finish_rollup_global(hier, B, gcap, row_cap=48)
+    ok = DeviceFamilyScorer.finish_rollup_global(hier, B, gcap,
+                                                 row_cap=48, folded=folded)
     assert ok is not None
-    want = DeviceFamilyScorer.finish_rollup_global(flat, B, gcap)
+    want = DeviceFamilyScorer.finish_rollup_global(flat, B, gcap,
+                                                   folded=folded)
     for a, b in zip(ok, want):
         assert np.array_equal(a, b)
 
