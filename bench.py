@@ -230,7 +230,9 @@ def bench_family(db, offsets, lengths, rng):
     items = [(f"p{i}", offsets[i, :int(lengths[i])])
              for i in range(N_QUERY)]
     t0 = time.time()
-    eng.best_family_matches(items[:BATCH], mapping)
+    # warm the REAL serving chunk shape: a smaller warmup batch would
+    # compile its own (useless) B through the remote-compile tunnel
+    eng.best_family_matches(items[:KmerEngine.FAMILY_MATCH_CHUNK], mapping)
     log(f"family warmup+compile {time.time()-t0:.1f}s")
     best = None
     for _ in range(2):
