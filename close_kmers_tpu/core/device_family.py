@@ -38,6 +38,20 @@ import numpy as np
 from ..db.signature_db import SignatureDB
 from .engine import DeviceDB, encode_windows, probe_windows
 
+# D2H fold constants — the single source for both the device-side packs
+# and the host unpackers (a desync silently corrupts parsed results, so
+# every shift/threshold below must come from here; see pack_flags):
+# * slim CALL pack plane = (count << CALL_FOLD_SHIFT) | fi, legal when
+#   counts fit CALL_CNT_BITS (count <= W+1) and fi fits CALL_FOLD_SHIFT
+#   bits (CALL_CNT_BITS + CALL_FOLD_SHIFT = 31 keeps the sign bit clear);
+# * rollup pack plane = (count << ROW_FOLD_SHIFT) | first, legal when
+#   both fit ROW_FIT_BITS (count, first <= W*D+1; one spare bit below
+#   ROW_FOLD_SHIFT keeps count << 16 under bit 31).
+CALL_FOLD_SHIFT = 18
+CALL_CNT_BITS = 13
+ROW_FOLD_SHIFT = 16
+ROW_FIT_BITS = 15
+
 
 @dataclasses.dataclass
 class DeviceFamilyDB:
@@ -245,7 +259,7 @@ def rollup_from_fams(fams, cap_seq: int, row_cap: int = 0):
         # instead of 4 (the rows pack is the largest family-path D2H
         # buffer; the relay moves ~5-9 MB/s).  finish_rollup_global
         # splits them back (folded=True).
-        fold = (W * D + 1) < (1 << 15)
+        fold = (W * D + 1) < (1 << ROW_FIT_BITS)
         if row_cap > 0:
             R = row_cap
             order = jnp.argsort(~emit, axis=1, stable=True)[:, :R]
@@ -258,8 +272,9 @@ def rollup_from_fams(fams, cap_seq: int, row_cap: int = 0):
             order2 = jnp.argsort(~emit2, stable=True)[:gcap]
             planes = [fam_d.reshape(-1)[order2]]
             if fold:
-                planes.append((cnt_d.reshape(-1)[order2] << 16)
-                              | first_d.reshape(-1)[order2])
+                planes.append(
+                    (cnt_d.reshape(-1)[order2] << ROW_FOLD_SHIFT)
+                    | first_d.reshape(-1)[order2])
             else:
                 planes.append(cnt_d.reshape(-1)[order2])
             planes.append(jax.lax.bitcast_convert_type(
@@ -272,7 +287,7 @@ def rollup_from_fams(fams, cap_seq: int, row_cap: int = 0):
         order = jnp.argsort(~flat_emit, stable=True)[:gcap]
         planes = [famc.reshape(-1)[order]]
         if fold:
-            planes.append((cntc.reshape(-1)[order] << 16)
+            planes.append((cntc.reshape(-1)[order] << ROW_FOLD_SHIFT)
                           | firstc.reshape(-1)[order])
         else:
             planes.append(cntc.reshape(-1)[order])
@@ -401,11 +416,12 @@ def _score_family_jit(bucket_pair, lo_arr, payload, n, n_steps, fam_tab,
         c_end.reshape(-1)[order].astype(jnp.int32),
     ]
     if slim_calls and fold_calls:
-        # (count << 18) | fi in one plane: callers guarantee statically
-        # that counts fit 13 bits (W+1 < 2^13) and fi 18 bits — the slim
-        # CALL pack drops to 2 planes (unpack with unpack_dense2)
+        # (count << CALL_FOLD_SHIFT) | fi in one plane: callers
+        # guarantee statically that counts fit CALL_CNT_BITS (W+1) and fi
+        # CALL_FOLD_SHIFT bits — the slim CALL pack drops to 2 planes
+        # (unpack with unpack_dense2)
         planes += [
-            (c_cnt.reshape(-1)[order].astype(jnp.int32) << 18)
+            (c_cnt.reshape(-1)[order].astype(jnp.int32) << CALL_FOLD_SHIFT)
             | c_fi.reshape(-1)[order].astype(jnp.int32),
             jax.lax.bitcast_convert_type(c_wt.reshape(-1)[order],
                                          jnp.int32),
@@ -446,8 +462,8 @@ class DeviceFamilyScorer:
                                                  force=famwide)
         self.famwide, self.fam_w, self.fam_d = fw if fw is not None \
             else (None, 0, 0)
-        self._fi_fold_ok = (int(db.fi.max()) < (1 << 18)) if len(db) \
-            else True
+        self._fi_fold_ok = (int(db.fi.max()) < (1 << CALL_FOLD_SHIFT)) \
+            if len(db) else True
 
     def rollup(self, offsets: np.ndarray, lengths: np.ndarray,
                fams_per_seq_cap: int | None = None):
@@ -530,9 +546,10 @@ class DeviceFamilyScorer:
             return None
         t = slice(0, total)
         if folded:
-            return (n_per_seq, pack[0, t], pack[1, t] >> 16,
+            return (n_per_seq, pack[0, t],
+                    pack[1, t] >> ROW_FOLD_SHIFT,
                     pack[2, t].copy().view(np.float32),
-                    pack[1, t] & 0xFFFF)
+                    pack[1, t] & ((1 << ROW_FOLD_SHIFT) - 1))
         return (n_per_seq, pack[0, t], pack[1, t],
                 pack[2, t].copy().view(np.float32), pack[3, t])
 
@@ -543,8 +560,8 @@ class DeviceFamilyScorer:
         packed: the same arithmetic runs inside _score_family_jit /
         rollup_from_fams on the static shapes."""
         W = L - 8
-        return (self._fi_fold_ok and (W + 1) < (1 << 13),
-                (W * self.fdb.d + 1) < (1 << 15))
+        return (self._fi_fold_ok and (W + 1) < (1 << CALL_CNT_BITS),
+                (W * self.fdb.d + 1) < (1 << ROW_FIT_BITS))
 
     def score_family_packed(self, offsets, lengths, params,
                             calls_per_seq_cap: int = 4,

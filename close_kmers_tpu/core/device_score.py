@@ -206,8 +206,10 @@ def _best_call_device(emit, c_cnt, c_fi, c_wt):
     idx = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
     valid = idx < n_calls[:, None]
 
-    zero = jnp.zeros((B,), jnp.int32)
-    zf = jnp.zeros((B,), jnp.float32)
+    # Derived from the inputs so the scan carries keep the same
+    # varying-axes type under shard_map (see _scan_score's init note).
+    zero = jnp.zeros_like(n_calls, dtype=jnp.int32)
+    zf = jnp.zeros_like(c_wt[:, 0], dtype=jnp.float32)
 
     # --- collapse adjacent same-fI (kguts.cc:1023-1040)
     def coll_step(s, x):
@@ -570,8 +572,10 @@ class DeviceScorer:
             d = np.zeros((B, maxc), dtype=np.int32)
             d[rows, cols] = pack[j, :total]
             dense.append(d)
+        from .device_family import CALL_FOLD_SHIFT
         cnt_fi, cw_bits = dense
-        return (n_calls, cnt_fi >> 18, cnt_fi & ((1 << 18) - 1),
+        return (n_calls, cnt_fi >> CALL_FOLD_SHIFT,
+                cnt_fi & ((1 << CALL_FOLD_SHIFT) - 1),
                 cw_bits.view(np.float32))
 
     def best_batch_packed(self, offsets, lengths,

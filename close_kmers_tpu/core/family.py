@@ -192,13 +192,16 @@ def _db_fi_intern(mapping: KmerFamilyMapping, functions: list) -> np.ndarray:
     uses that function).  Cached on the mapping per (families generation,
     functions identity)."""
     func_intern = mapping.family_meta_arrays()[5]
-    key = (mapping._families_gen, len(mapping.families), id(functions))
+    key = (mapping._families_gen, len(mapping.families))
     cached = getattr(mapping, "_fi_intern", None)
-    if cached is not None and cached[0] == key:
-        return cached[1]
+    # identity check via a pinned reference ('is', not id()): CPython can
+    # reuse an id() after the original list is collected, which would
+    # silently serve a stale table to a different engine's functions list
+    if cached is not None and cached[0] == key and cached[1] is functions:
+        return cached[2]
     arr = np.fromiter((func_intern.get(fn, -1) for fn in functions),
                       dtype=np.int64, count=len(functions))
-    mapping._fi_intern = (key, arr)
+    mapping._fi_intern = (key, functions, arr)
     return arr
 
 
@@ -247,9 +250,14 @@ def find_best_family_matches_batch(
         fi0 = bests.ofi[:, 0].astype(np.int64)
         hyp_idx = func_intern.get("hypothetical protein", -1)
         fi_intern = _db_fi_intern(mapping, bests.functions)
-        safe0 = np.where(called & (fi0 >= 0) & (fi0 < len(fi_intern)),
-                         fi0, 0)
-        bestfn_idx = np.where(called, fi_intern[safe0], hyp_idx)
+        in_range = (fi0 >= 0) & (fi0 < len(fi_intern))
+        safe0 = np.where(called & in_range, fi0, 0)
+        # called rows with an out-of-range fi0 (corrupt DB fi plane) must
+        # match NO family (-1), like the legacy scalar path — not family
+        # index 0's function via the safe0 clamp
+        bestfn_idx = np.where(called,
+                              np.where(in_range, fi_intern[safe0], -1),
+                              hyp_idx)
         # BestMatch output fields (finish_best_call semantics): score is
         # set for called and ambiguous rows, weighted only for called /
         # 3-way-ambiguous rows

@@ -93,6 +93,7 @@ class ShardedDB:
     sub_header: jax.Array | None = None     # i32[S, Hmax, SUB]
     sub_blocks: jax.Array | None = None     # i32[S, NBmax+1, 1+5*max_sub]
     sub_w: int = 0                          # true block width (lane-padded)
+    h_bounds: np.ndarray | None = None      # i64[S+1] shard hi boundaries
 
     @classmethod
     def from_db(cls, db: SignatureDB, mesh: Mesh,
@@ -170,7 +171,7 @@ class ShardedDB:
                    wide_w=WIDE if pw is not None else 0,
                    sub_header=put(sub_h) if sub_h is not None else None,
                    sub_blocks=put(sub_b) if sub_b is not None else None,
-                   sub_w=sub_w)
+                   sub_w=sub_w, h_bounds=h_bounds)
 
     @staticmethod
     def _build_sub(db: SignatureDB, S, h_bounds, row_base, Hmax):
@@ -226,12 +227,12 @@ class ShardedDB:
                 self.payload_wide, self.sub_header, self.sub_blocks)
 
 
-def _local_probe_full(bp, lo, payload, hi_base, pw, sh, sb,
-                      offsets, lengths, *, n_steps, m, wide_w=0, sub_w=0):
-    """Per-device probe against the local table shard.  Returns the
-    UNMERGED local results plus (hi_q, lo_q): found/payloads are zero
-    outside the shard's key range; idx is the local row (m = miss)."""
-    hi_q, lo_q, valid = encode_windows(offsets, lengths)
+def _probe_local_windows(bp, lo, payload, hi_base, pw, sh, sb,
+                         hi_q, lo_q, valid, *, n_steps, m,
+                         wide_w=0, sub_w=0):
+    """Probe already-encoded windows (any shape) against the LOCAL table
+    shard.  found/payloads are zero outside the shard's key range; idx is
+    the local row (m = miss)."""
     if pw is not None or sh is not None:
         # shard-local hi-indexed layout (payload-wide rows or sub-bucket
         # blocks): localize hi and mask the range
@@ -242,12 +243,21 @@ def _local_probe_full(bp, lo, payload, hi_base, pw, sh, sb,
                        None, pw[0] if pw is not None else None, wide_w,
                        sh[0] if sh is not None else None,
                        sb[0] if sb is not None else None, sub_w)
-        found, p_fi, p_oi, p_av, p_wt, idx = probe_windows(
+        return probe_windows(
             ddb, jnp.clip(hi_loc, 0, Hmax - 1), lo_q, valid & in_r)
-    else:
-        ddb = DeviceDB(bp[0], lo[0], payload[0], n_steps, m)
-        found, p_fi, p_oi, p_av, p_wt, idx = probe_windows(
-            ddb, hi_q, lo_q, valid)
+    ddb = DeviceDB(bp[0], lo[0], payload[0], n_steps, m)
+    return probe_windows(ddb, hi_q, lo_q, valid)
+
+
+def _local_probe_full(bp, lo, payload, hi_base, pw, sh, sb,
+                      offsets, lengths, *, n_steps, m, wide_w=0, sub_w=0):
+    """Per-device probe against the local table shard.  Returns the
+    UNMERGED local results plus (hi_q, lo_q): found/payloads are zero
+    outside the shard's key range; idx is the local row (m = miss)."""
+    hi_q, lo_q, valid = encode_windows(offsets, lengths)
+    found, p_fi, p_oi, p_av, p_wt, idx = _probe_local_windows(
+        bp, lo, payload, hi_base, pw, sh, sb, hi_q, lo_q, valid,
+        n_steps=n_steps, m=m, wide_w=wide_w, sub_w=sub_w)
     return found, p_fi, p_oi, p_av, p_wt, idx, hi_q, lo_q
 
 
@@ -399,6 +409,307 @@ def annotate_step_sharded(sdb: ShardedDB, offsets, lengths,
                               sdb.n_steps, sdb.m,
                               sdb.mesh, cap_seq, jnp.asarray(offsets),
                               jnp.asarray(lengths), sdb.wide_w, sdb.sub_w)
+
+
+def _routed_probe_core(bp, lo_t, payload, hi_base, pw, shh, sb, bounds,
+                       fam_tab, hi_q, lo_q, valid, *, n_steps, m, S, cap,
+                       ov_cap, wide_w=0, sub_w=0, fam_d=0):
+    """One-gather-per-window pod-wide probe (the routed design): each
+    device owns a slice of the batch, routes every window to its owning
+    table shard over ``"table"`` with one all_to_all, probes ONLY the
+    windows it owns, and routes results (plus gathered family rows when
+    ``fam_tab`` is given) back.  The reference's only cross-process
+    pattern ships queries to the data the same way (klookup3.cc:17-212);
+    the replicated ``_merge_probe`` path instead gathers every window on
+    every shard — S x the probe work of the ideal, which caps a 64-shard
+    pod at one chip's aggregate window rate per data-replica.
+
+    Static ``cap`` bounds windows per (source, destination) pair; the
+    overflowing remainder takes an exact all_gather+psum fallback bounded
+    by ``ov_cap``.  Windows beyond BOTH caps are dropped (found=0) and
+    counted in the returned ``n_dropped`` so callers can re-dispatch with
+    a bigger capacity; ``n_overflow`` counts fallback-path windows.
+
+    Returns (found, fi, oi, av, wt, fams|None, n_overflow, n_dropped):
+    per-window planes shaped like ``hi_q`` (miss convention matches
+    ``_merge_probe``: fi/oi/av 0, wt 0.0), counts as per-device [1]
+    vectors.
+    """
+    shp = hi_q.shape
+    Nw = int(np.prod(shp))
+    i32 = jnp.int32
+    hif = jnp.where(valid, hi_q, 0).reshape(-1)
+    lof = jnp.where(valid, lo_q, -2).reshape(-1)
+    vf = valid.reshape(-1)
+
+    # owning table shard of each window; S = invalid (never routed)
+    owner = jnp.searchsorted(bounds, hif.astype(bounds.dtype),
+                             side="right").astype(i32) - 1
+    owner = jnp.where(vf, jnp.clip(owner, 0, S - 1), S)
+    iota = jax.lax.iota(i32, Nw)
+    s_owner, s_hi, s_lo, s_pos = jax.lax.sort(
+        (owner, hif, lof, iota), num_keys=1, is_stable=True)
+    start = jnp.searchsorted(s_owner, jnp.arange(S, dtype=i32),
+                             side="left").astype(i32)
+    rank = iota - start[jnp.minimum(s_owner, S - 1)]
+    fits = (s_owner < S) & (rank < cap)
+    slot = jnp.where(fits, s_owner * cap + rank, S * cap)
+    send_hi = jnp.full(S * cap, -1, i32).at[slot].set(s_hi, mode="drop")
+    send_lo = jnp.full(S * cap, -2, i32).at[slot].set(s_lo, mode="drop")
+    send = jnp.stack([send_hi, send_lo], axis=-1).reshape(S, cap, 2)
+    recv = jax.lax.all_to_all(send, "table", 0, 0, tiled=True)
+
+    def probe_planes(p_hi, p_lo):
+        """Probe flat windows locally; return planes + local row idx.
+        Miss/pad slots carry 0 (fi is shipped +1 so 0 = miss)."""
+        fnd, fi, oi, av, wt, idx = _probe_local_windows(
+            bp, lo_t, payload, hi_base, pw, shh, sb,
+            p_hi, p_lo, p_hi >= 0,
+            n_steps=n_steps, m=m, wide_w=wide_w, sub_w=sub_w)
+        planes = [jnp.where(fnd, fi + 1, 0),
+                  jnp.where(fnd, oi, 0),
+                  jnp.where(fnd, av, 0),
+                  jnp.where(fnd, jax.lax.bitcast_convert_type(wt, i32), 0)]
+        if fam_tab is not None:
+            from ..core.device_family import _gather_fams
+            fams = _gather_fams(fam_tab[0], idx)         # [1, N, D]
+            planes += [jnp.where(fnd, fams[..., d] + 1, 0)
+                       for d in range(fam_d)]
+        return planes
+
+    planes = probe_planes(recv[..., 0].reshape(1, -1),
+                          recv[..., 1].reshape(1, -1))
+    P_ = len(planes)
+    back = jnp.stack([p.reshape(-1) for p in planes], axis=-1) \
+        .reshape(S, cap, P_)
+    ret = jax.lax.all_to_all(back, "table", 0, 0, tiled=True) \
+        .reshape(S * cap, P_)
+    res_sorted = jnp.where(fits[:, None],
+                           ret[jnp.minimum(slot, S * cap - 1)], 0)
+
+    # --- exact fallback for windows beyond the per-pair capacity:
+    # compact them, all_gather across the table axis, probe everywhere,
+    # psum-merge (each key lives in exactly one shard), read own row.
+    ovf = (s_owner < S) & (rank >= cap)
+    ov_rank = jnp.cumsum(ovf.astype(i32)) - 1
+    in_ov = ovf & (ov_rank < ov_cap)
+    ov_slot = jnp.where(in_ov, ov_rank, ov_cap)
+    ov_hi = jnp.full(ov_cap, -1, i32).at[ov_slot].set(s_hi, mode="drop")
+    ov_lo = jnp.full(ov_cap, -2, i32).at[ov_slot].set(s_lo, mode="drop")
+    g = jax.lax.all_gather(jnp.stack([ov_hi, ov_lo], -1), "table")
+    gplanes = probe_planes(g[..., 0].reshape(1, -1),
+                           g[..., 1].reshape(1, -1))
+    gstack = jnp.stack([p.reshape(S, ov_cap) for p in gplanes], -1)
+    merged = jax.lax.psum(gstack, "table")               # [S, ov_cap, P_]
+    mine = merged[jax.lax.axis_index("table")]           # [ov_cap, P_]
+    ov_res = jnp.where(in_ov[:, None],
+                       mine[jnp.minimum(ov_slot, ov_cap - 1)], 0)
+    res_sorted = jnp.where(ovf[:, None], ov_res, res_sorted)
+
+    out = jnp.zeros((Nw, P_), i32).at[s_pos].set(res_sorted)
+    fi1 = out[:, 0].reshape(shp)
+    found = fi1 > 0
+    fi = jnp.where(found, fi1 - 1, 0)
+    oi = out[:, 1].reshape(shp)
+    av = out[:, 2].reshape(shp)
+    wt = jax.lax.bitcast_convert_type(out[:, 3], jnp.float32).reshape(shp)
+    fams = None
+    if fam_tab is not None:
+        fams = out[:, 4:].reshape(shp + (fam_d,)) - 1
+    n_ovf = jnp.reshape(ovf.sum(dtype=i32), (1,))
+    n_drop = jnp.reshape((ovf & ~in_ov).sum(dtype=i32), (1,))
+    return found, fi, oi, av, wt, fams, n_ovf, n_drop
+
+
+def _routed_probe_local(bp, lo_t, payload, hi_base, pw, shh, sb, bounds,
+                        offsets, lengths, *, n_steps, m, S, cap, ov_cap,
+                        wide_w=0, sub_w=0):
+    hi_q, lo_q, valid = encode_windows(offsets, lengths)
+    found, fi, oi, av, wt, _fams, n_ovf, n_drop = _routed_probe_core(
+        bp, lo_t, payload, hi_base, pw, shh, sb, bounds, None,
+        hi_q, lo_q, valid, n_steps=n_steps, m=m, S=S, cap=cap,
+        ov_cap=ov_cap, wide_w=wide_w, sub_w=sub_w)
+    return (found.astype(jnp.int32), fi, oi, av, wt, hi_q, lo_q,
+            n_ovf, n_drop)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_steps", "m", "mesh", "cap",
+                                    "ov_cap", "wide_w", "sub_w"))
+def _probe_routed_jit(bp, lo, payload, hi_base, pw, sh, sb, bounds,
+                      n_steps, m, mesh, cap, ov_cap, offsets, lengths,
+                      wide_w=0, sub_w=0):
+    S = mesh.shape["table"]
+    fn = jax.shard_map(
+        functools.partial(_routed_probe_local, n_steps=n_steps, m=m,
+                          S=S, cap=cap, ov_cap=ov_cap, wide_w=wide_w,
+                          sub_w=sub_w),
+        mesh=mesh,
+        in_specs=(P("table", None, None), P("table", None),
+                  P("table", None, None), P("table", None),
+                  _tbl(pw), _tbl(sh), _tbl(sb), P(None),
+                  P(("data", "table"), None), P(("data", "table"))),
+        out_specs=(P(("data", "table"), None),) * 7
+        + (P(("data", "table")),) * 2,
+    )
+    return fn(bp, lo, payload, hi_base, pw, sh, sb, bounds,
+              offsets, lengths)
+
+
+def _routing_caps(sdb: ShardedDB, B: int, L: int,
+                  capacity_factor: float | None = 2.0,
+                  ov_frac: float = 8.0) -> tuple[int, int]:
+    """Static routing capacities for a [B, L] batch: ``cap`` windows per
+    (source, destination) pair sized at ``capacity_factor`` x the uniform
+    expectation, ``ov_cap`` fallback slots at 1/``ov_frac`` of a device's
+    windows.  ``capacity_factor=None`` sets cap to a device's FULL window
+    count — provably drop-free regardless of the query hi distribution
+    (a source can never send more than all its windows to one shard), at
+    S x the exchange buffer memory; right for tests and small batches."""
+    from ..params import K
+    S = sdb.n_shards
+    n_data = sdb.mesh.shape["data"]
+    Bl = max(1, B // (n_data * S))
+    Nw = Bl * max(1, L - (K - 1))
+    if capacity_factor is None:
+        return max(8, Nw), max(8, Nw)
+    cap = max(8, -(-int(Nw * capacity_factor) // S))
+    ov_cap = max(8, int(Nw // ov_frac))
+    return cap, ov_cap
+
+
+def probe_routed(sdb: ShardedDB, offsets, lengths,
+                 capacity_factor: float = 2.0, ov_frac: float = 8.0):
+    """Routed-probe equivalent of :func:`probe_sharded` (same 7-tuple),
+    plus (n_overflow, n_dropped) per-device count vectors.  Batch rows
+    must divide by n_data * S.  ``n_dropped`` > 0 means some windows
+    exceeded both routing capacities and report found=0 — re-dispatch
+    with a bigger ``capacity_factor``."""
+    B, L = np.shape(offsets)
+    cap, ov_cap = _routing_caps(sdb, B, L, capacity_factor, ov_frac)
+    bounds = jnp.asarray(np.asarray(sdb.h_bounds, dtype=np.int32))
+    return _probe_routed_jit(*sdb.probe_args(), bounds,
+                             sdb.n_steps, sdb.m, sdb.mesh, cap, ov_cap,
+                             jnp.asarray(offsets), jnp.asarray(lengths),
+                             sdb.wide_w, sdb.sub_w)
+
+
+def _serve_step_local(bp, lo_t, payload, hi_base, pw, shh, sb, bounds,
+                      fam_tab, offsets, lengths, *, n_steps, m, S, cap,
+                      ov_cap, cap_seq, min_hits, min_weighted_hits,
+                      max_gap, order_constraint, routed=True,
+                      wide_w=0, sub_w=0, fam_d=0):
+    """The full SERVING program per device: probe (routed or replicated)
+    + the run/gap/two-hit scoring scan with real engine parameters + the
+    device find_best_call reductions (device_score._best_call_device →
+    the [B, 9] pack best_batch_packed serves) + (when ``fam_tab``) the
+    family rollup rows device_family.rollup_from_fams serves.  This is
+    the single-chip serving computation, sharded — not a sketch."""
+    from ..core.device_score import _scan_score, _best_call_device
+
+    hi_q, lo_q, valid = encode_windows(offsets, lengths)
+    if routed:
+        found, p_fi, p_oi, p_av, p_wt, fams, n_ovf, n_drop = \
+            _routed_probe_core(
+                bp, lo_t, payload, hi_base, pw, shh, sb, bounds, fam_tab,
+                hi_q, lo_q, valid, n_steps=n_steps, m=m, S=S, cap=cap,
+                ov_cap=ov_cap, wide_w=wide_w, sub_w=sub_w, fam_d=fam_d)
+    else:
+        lfound, l_fi, l_oi, l_av, l_wt, l_idx = _probe_local_windows(
+            bp, lo_t, payload, hi_base, pw, shh, sb, hi_q, lo_q, valid,
+            n_steps=n_steps, m=m, wide_w=wide_w, sub_w=sub_w)
+        fnd32, p_fi, p_oi, p_av, p_wt = _merge_probe(
+            lfound, l_fi, l_oi, l_av, l_wt)
+        found = fnd32 > 0
+        fams = None
+        if fam_tab is not None:
+            from ..core.device_family import _gather_fams
+            fams_l = _gather_fams(fam_tab[0], l_idx)
+            contrib = jnp.where(lfound[..., None], fams_l + 1, 0)
+            fams = jax.lax.psum(contrib, "table") - 1
+        zero1 = jnp.zeros_like(found[:1, 0], dtype=jnp.int32)
+        n_ovf = n_drop = zero1
+    emit, (c_start, c_end, c_cnt, c_fi, c_wt) = _scan_score(
+        found, p_fi, p_av, p_wt, min_hits, min_weighted_hits, max_gap,
+        order_constraint)
+    (n_funcs, fi0, cnt0, wt0, fi1, cnt1, wt1, v2c, ovfb) = \
+        _best_call_device(emit, c_cnt, c_fi, c_wt)
+    bc = jax.lax.bitcast_convert_type
+    best = jnp.stack([n_funcs, fi0, cnt0, bc(wt0, jnp.int32),
+                      fi1, cnt1, bc(wt1, jnp.int32), v2c,
+                      ovfb.astype(jnp.int32)], axis=1)
+    outs = (best, n_ovf, n_drop)
+    if fam_tab is not None:
+        from ..core.device_family import rollup_from_fams
+        outs = outs + (rollup_from_fams(fams, cap_seq),)
+    return outs
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_steps", "m", "mesh", "cap",
+                                    "ov_cap", "cap_seq", "min_hits",
+                                    "min_weighted_hits", "max_gap",
+                                    "order_constraint", "routed",
+                                    "wide_w", "sub_w", "fam_d"))
+def _serve_step_jit(bp, lo, payload, hi_base, pw, sh, sb, bounds, fam_tab,
+                    n_steps, m, mesh, cap, ov_cap, cap_seq,
+                    min_hits, min_weighted_hits, max_gap,
+                    order_constraint, offsets, lengths, routed=True,
+                    wide_w=0, sub_w=0, fam_d=0):
+    S = mesh.shape["table"]
+    both = ("data", "table") if routed else "data"
+    fn = jax.shard_map(
+        functools.partial(
+            _serve_step_local, n_steps=n_steps, m=m, S=S, cap=cap,
+            ov_cap=ov_cap, cap_seq=cap_seq, min_hits=min_hits,
+            min_weighted_hits=min_weighted_hits, max_gap=max_gap,
+            order_constraint=order_constraint, routed=routed,
+            wide_w=wide_w, sub_w=sub_w, fam_d=fam_d),
+        mesh=mesh,
+        in_specs=(P("table", None, None), P("table", None),
+                  P("table", None, None), P("table", None),
+                  _tbl(pw), _tbl(sh), _tbl(sb), P(None),
+                  P("table", None, None) if fam_tab is not None else P(),
+                  P(both, None), P(both)),
+        out_specs=(P(both, None), P(both), P(both))
+        + ((P(both, None),) if fam_tab is not None else ()),
+    )
+    return fn(bp, lo, payload, hi_base, pw, sh, sb, bounds, fam_tab,
+              offsets, lengths)
+
+
+def serve_step_sharded(sdb: ShardedDB, offsets, lengths,
+                       params=None, fam_shards: jax.Array | None = None,
+                       cap_seq: int = 8, routed: bool = True,
+                       capacity_factor: float | None = 2.0):
+    """The multi-chip SERVING step: returns (best_pack, n_overflow,
+    n_dropped[, rollup_rows]).
+
+    * ``best_pack`` [B, 9] — the device find_best_call reduction pack
+      (same columns as DeviceScorer.best_batch_packed; finish with
+      DeviceScorer.finish_best_batch, col 8 = host-fallback flag);
+    * ``rollup_rows`` [B, 1 + 4*cap_seq] — per-sequence family rollup
+      rows (parse with DeviceFamilyScorer.finish_rollup_rows), present
+      when ``fam_shards`` (from :func:`shard_fam_table`) is given;
+    * ``n_overflow``/``n_dropped`` — per-device routing counters
+      (all zero when ``routed=False``, which selects the replicated
+      probe + psum merge instead).
+
+    ``params`` is a real EngineParams (per-request overrides flow here,
+    matching kguts.cc:236-268 param_map_ semantics)."""
+    from ..params import EngineParams
+    params = params or EngineParams()
+    B, L = np.shape(offsets)
+    cap, ov_cap = _routing_caps(sdb, B, L, capacity_factor)
+    bounds = jnp.asarray(np.asarray(sdb.h_bounds, dtype=np.int32))
+    fam_d = int(fam_shards.shape[-1]) if fam_shards is not None else 0
+    return _serve_step_jit(*sdb.probe_args(), bounds, fam_shards,
+                           sdb.n_steps, sdb.m, sdb.mesh, cap, ov_cap,
+                           cap_seq, params.min_hits,
+                           params.min_weighted_hits, params.max_gap,
+                           params.order_constraint,
+                           jnp.asarray(offsets), jnp.asarray(lengths),
+                           routed, sdb.wide_w, sdb.sub_w, fam_d)
 
 
 class ShardedEngine:

@@ -8,7 +8,8 @@ import pytest
 from close_kmers_tpu.params import EngineParams
 from close_kmers_tpu.core.engine import FastAnnotator
 from close_kmers_tpu.parallel.sharding import (
-    ShardedEngine, ShardedDB, make_mesh, annotate_step_sharded)
+    ShardedEngine, ShardedDB, make_mesh, annotate_step_sharded,
+    probe_sharded, probe_routed, serve_step_sharded, shard_fam_table)
 
 from test_engine import random_db, random_seqs
 
@@ -183,3 +184,117 @@ def test_sharded_deep_bucket_sub_layout(corpus):
     for k in ("pos", "fi", "oi", "avg_off", "code", "row_off"):
         assert np.array_equal(got[k], want[k]), k
     assert np.array_equal(np.float32(got["wt"]), np.float32(want["wt"]))
+
+
+# ---------------------------------------------------------------- routed
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4), (4, 2)])
+def test_routed_probe_matches_replicated(corpus, shape):
+    """The routed probe (batch sharded over data x table, one all_to_all
+    per direction, one gather per window pod-wide) must equal the
+    replicated psum-merge probe exactly, with no overflow at the default
+    capacity."""
+    db, seqs = corpus
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    mesh = make_mesh(*shape)
+    sdb = ShardedDB.from_db(db, mesh)
+    want = probe_sharded(sdb, offsets, lengths)
+    got = probe_routed(sdb, offsets, lengths)
+    for a, b in zip(want[:5], got[:5]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.asarray(got[8]).sum() == 0  # nothing dropped
+
+
+def test_routed_probe_overflow_fallback_exact(corpus):
+    """With a deliberately tiny per-pair capacity, overflowing windows
+    must take the all_gather+psum fallback and still be exact (and be
+    counted)."""
+    db, seqs = corpus
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    mesh = make_mesh(2, 4)
+    sdb = ShardedDB.from_db(db, mesh)
+    want = probe_sharded(sdb, offsets, lengths)
+    got = probe_routed(sdb, offsets, lengths, capacity_factor=0.01,
+                       ov_frac=1.0)
+    for a, b in zip(want[:5], got[:5]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.asarray(got[7]).sum() > 0   # fallback actually exercised
+    assert np.asarray(got[8]).sum() == 0
+
+
+def test_routed_probe_drop_reporting(corpus):
+    """Windows beyond BOTH capacities report found=0 and are counted in
+    n_dropped (callers re-dispatch bigger)."""
+    db, seqs = corpus
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    mesh = make_mesh(2, 4)
+    sdb = ShardedDB.from_db(db, mesh)
+    got = probe_routed(sdb, offsets, lengths, capacity_factor=0.01,
+                       ov_frac=10_000.0)
+    want = probe_sharded(sdb, offsets, lengths)
+    n_drop = int(np.asarray(got[8]).sum())
+    assert n_drop > 0
+    # found is a subset of the true result, short by exactly n_drop hits
+    # at most (dropped windows may also be misses)
+    f_got = np.asarray(got[0])
+    f_want = np.asarray(want[0])
+    assert (f_got <= f_want).all()
+    assert f_want.sum() - f_got.sum() <= n_drop
+
+
+@pytest.mark.parametrize("routed", [True, False])
+def test_serve_step_matches_single_chip(corpus, routed):
+    """The promoted serving step must reproduce the single-chip device
+    best-call pack and family rollup rows bit-exactly, with REAL engine
+    params, in both probe modes."""
+    from close_kmers_tpu.core.device_score import DeviceScorer
+    from close_kmers_tpu.core.device_family import DeviceFamilyScorer
+    from close_kmers_tpu.db.family_db import KmerFamilyMapping
+
+    db, seqs = corpus
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    mesh = make_mesh(2, 4)
+    sdb = ShardedDB.from_db(db, mesh)
+
+    rng = np.random.default_rng(7)
+    mapping = KmerFamilyMapping()
+    for k in db.keys:
+        for fid in set(rng.integers(0, 40, size=rng.integers(1, 5)).tolist()):
+            mapping.add_fam_mapping(int(fid), int(k))
+    dfs = DeviceFamilyScorer(db, mapping)
+    fam_sh = shard_fam_table(np.asarray(dfs.fdb.fam), sdb)
+
+    ds = DeviceScorer(db)
+    params = EngineParams(min_hits=3, max_gap=150)
+    want_best = np.asarray(ds.best_batch_packed(offsets, lengths, params))
+    want_roll = dfs.rollup(offsets, lengths, fams_per_seq_cap=64)
+
+    best, n_ovf, n_drop, rows = serve_step_sharded(
+        sdb, offsets, lengths, params=params, fam_shards=fam_sh,
+        cap_seq=64, routed=routed)
+    assert np.array_equal(np.asarray(best), want_best)
+    got_roll = DeviceFamilyScorer.finish_rollup_rows(np.asarray(rows), 64)
+    for a, b in zip(got_roll, want_roll):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.asarray(n_drop).sum() == 0
+
+
+def test_serve_step_params_matter(corpus):
+    """Real per-request EngineParams must flow into the sharded scoring
+    scan (the r3 sketch hardcoded min_hits=5/max_gap=200)."""
+    db, seqs = corpus
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    mesh = make_mesh(2, 4)
+    sdb = ShardedDB.from_db(db, mesh)
+    loose, _, _ = serve_step_sharded(
+        sdb, offsets, lengths, params=EngineParams(min_hits=1))
+    strict, _, _ = serve_step_sharded(
+        sdb, offsets, lengths, params=EngineParams(min_hits=10))
+    # looser params can only find >= as many functions per row
+    assert (np.asarray(loose)[:, 0] >= np.asarray(strict)[:, 0]).all()
+    assert not np.array_equal(np.asarray(loose), np.asarray(strict))
