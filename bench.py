@@ -196,15 +196,12 @@ def bench_cpu(db, offsets, lengths):
     native.pipeline_batch(db, offsets[:N_CPU], lengths[:N_CPU])
     log(f"CPU single-core (sorted two-level): {N_CPU} proteins in "
         f"{time.time()-t0:.2f}s")
-    return N_CPU / best
+    return N_CPU / best, hp
 
 
-def bench_family(db, offsets, lengths, rng):
-    """Config-2 secondary measurement: the full /lookup?find_best_match=1
-    serving path — fused device calls+rollup, global packs, vectorized
-    best-match scan (proteins/s reported to stderr; primary metric
-    unchanged)."""
-    from close_kmers_tpu.core.api import KmerEngine
+def make_family_universe(db, rng):
+    """Named-function DB + synthetic family universe (deg 1-3 kmer->fam
+    CSR, 3 families per function) shared by the family/fastq workloads."""
     from close_kmers_tpu.db.family_db import FamilyData, KmerFamilyMapping
     from close_kmers_tpu.db.signature_db import SignatureDB
 
@@ -221,28 +218,192 @@ def bench_family(db, offsets, lengths, rng):
     mapping.families = [
         FamilyData(f"PGF_{f:08d}", f"PLF_{f % 5}_{f:08d}", f % 5,
                    f"fn{f // 3}", f, 10, 10) for f in range(3 * n_funcs)]
+    return dbf, mapping
 
-    eng = KmerEngine(dbf)
-    # Same workload size as the /query bench: with grouped-readback
-    # pipelining (api.best_family_matches_padded), larger requests
-    # amortize the relay's per-transfer latency floor exactly like
-    # bench_tpu's GROUP scheme does.
-    items = [(f"p{i}", offsets[i, :int(lengths[i])])
-             for i in range(N_QUERY)]
+
+def bench_family(eng, mapping, offsets, lengths):
+    """The full /lookup?find_best_match=1 serving path — fused device
+    calls+rollup, global packs, grouped-readback pipelining, vectorized
+    best-match scan.  Measures the ARRAY path (pre-padded batch, as the
+    server pads once from parsed FASTA): round 3's recorded 29.6k/s was
+    mostly the bench's own per-item list construction + best-of-2 on a
+    noisy relay, not the serving path (family_phase.py breakdown)."""
+    from close_kmers_tpu.core.api import KmerEngine
+
+    off_q = offsets[:N_QUERY]
+    len_q = lengths[:N_QUERY]
     t0 = time.time()
     # warm the REAL serving chunk shape: a smaller warmup batch would
     # compile its own (useless) B through the remote-compile tunnel
-    eng.best_family_matches(items[:KmerEngine.FAMILY_MATCH_CHUNK], mapping)
+    eng.best_family_matches_padded(
+        off_q[:KmerEngine.FAMILY_MATCH_CHUNK],
+        len_q[:KmerEngine.FAMILY_MATCH_CHUNK], mapping)
     log(f"family warmup+compile {time.time()-t0:.1f}s")
     best = None
-    for _ in range(2):
+    for _ in range(PASSES):
         t0 = time.time()
-        ms = eng.best_family_matches(items, mapping)
+        ms = eng.best_family_matches_padded(off_q, len_q, mapping)
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     n_called = sum(1 for m in ms if m.gfam_id)
-    log(f"family best-match path: {len(items)} proteins in {best:.2f}s "
-        f"({len(items)/best:.0f} proteins/s, {n_called} placed)")
+    rate = len(ms) / best
+    log(f"family best-match path: {len(ms)} proteins in {best:.2f}s "
+        f"best-of-{PASSES} ({rate:.0f} proteins/s, {n_called} placed)")
+    return rate
+
+
+def bench_fastq(eng, mapping, offsets):
+    """/fq_lookup workload (BASELINE config 3): FASTQ reads -> 6-frame
+    ORFs > 10aa -> best family match per ORF -> best frame per read."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from fq_bench import synth_reads
+    from close_kmers_tpu.ops.translate import batch_orf_arrays
+
+    rng = np.random.default_rng(3)
+    n_reads = int(os.environ.get("BENCH_FQ_READS", 20_000))
+    reads = synth_reads(rng, offsets[:2048, :PROT_LEN], n_reads, 150)
+
+    def one_pass():
+        t0 = time.time()
+        ofs, lens, toks = batch_orf_arrays([seq for _, seq in reads])
+        matches = eng.best_family_matches_padded(
+            ofs, lens, mapping, kmer_hit_threshold=3, genus_filter=False)
+        scores = np.array([m.score if m.gfam_score > 0 else 0.0
+                           for m in matches], dtype=np.float64)
+        tok_score = np.where(toks["orf"] >= 0, scores[toks["orf"]], 0.0)
+        totals = np.zeros((n_reads, 6), dtype=np.float64)
+        np.add.at(totals, (toks["read"], toks["fpos"].astype(np.int64)),
+                  tok_score)
+        return time.time() - t0, int((totals.max(axis=1) > 0).sum())
+
+    one_pass()  # warm (ORF chunk shapes)
+    best = None
+    for _ in range(3):
+        dt, n_called = one_pass()
+        best = dt if best is None else min(best, dt)
+    rate = n_reads / best
+    log(f"fastq path: {n_reads} reads in {best:.2f}s best-of-3 "
+        f"({rate:.0f} reads/s, {n_called} called)")
+    return rate
+
+
+def bench_genome(eng, offsets, hp):
+    """Whole-genome workload (BASELINE config 2 input shape): 6-frame
+    translate + long-contig halo-tiled probe + native scoring; CPU ref =
+    the same frames through the reference-layout hash core."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from dna_bench import synth_genome
+    from close_kmers_tpu.core.dna import probe_long_sequence
+    from close_kmers_tpu.native import api as native
+    from close_kmers_tpu.ops.translate import six_frame_kguts_offsets
+    from close_kmers_tpu.params import EngineParams
+
+    rng = np.random.default_rng(4)
+    n_bases = int(float(os.environ.get("BENCH_GENOME_MBP", 5)) * 1e6)
+    genome = synth_genome(rng, offsets[:, :PROT_LEN], n_bases)
+    params = EngineParams()
+
+    def one_pass():
+        t0 = time.time()
+        n_calls = 0
+        for _strand, _off, prot in six_frame_kguts_offsets(genome):
+            h = probe_long_sequence(eng, prot, want_code=False,
+                                    want_oi=False, want_avg=False)
+            nc, *_ = native.score_batch(
+                h["pos"], h["fi"], h["oi"], h["avg_off"], h["wt"],
+                h["row_off"], params, max_calls_per_seq=65536)
+            n_calls += int(nc.sum())
+        return time.time() - t0, n_calls
+
+    one_pass()
+    best = None
+    for _ in range(3):
+        dt, n_calls = one_pass()
+        best = dt if best is None else min(best, dt)
+    rate = len(genome) / best / 1e6
+    log(f"genome path: {len(genome):,} bp in {best:.2f}s best-of-3 "
+        f"({rate:.2f} Mbp/s, {n_calls} calls)")
+
+    cpu_rate = None
+    if hp is not None:
+        frames = six_frame_kguts_offsets(genome)
+        L = max(len(p) for _s, _o, p in frames)
+        stride = -(-(L + 1) // 8) * 8
+        fr_off = np.full((len(frames), stride), 20, dtype=np.uint8)
+        fr_len = np.zeros(len(frames), dtype=np.int32)
+        for i, (_s, _o, p) in enumerate(frames):
+            fr_off[i, :len(p)] = p
+            fr_len[i] = len(p)
+        best_c = None
+        for _ in range(2):
+            t0 = time.time()
+            hp.run(fr_off, fr_len)
+            dt = time.time() - t0
+            best_c = dt if best_c is None else min(best_c, dt)
+        cpu_rate = len(genome) / best_c / 1e6
+        log(f"genome CPU core (reference hash): {cpu_rate:.2f} Mbp/s")
+    return rate, cpu_rate
+
+
+def bench_matrix(eng, offsets, lengths, rng):
+    """/matrix workload (BASELINE config 4): all-vs-all shared-kmer
+    counts over one request's proteins — the handler's vectorized core
+    (searchsorted + CSR flatten + unique; matrix_request.cc:130-161)."""
+    P = int(os.environ.get("BENCH_MATRIX_P", 512))
+    off_m, len_m = offsets[:P], lengths[:P]
+    # deg-1..3 kmer->peg CSR over the DB; peg ids land in [0, 2P) so
+    # roughly half of every hit's peg list points at registered matrix
+    # proteins (eid = row) — realistic pair densities for the loop
+    db = eng.db
+    n = len(db)
+    deg = rng.integers(1, 4, size=n)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=offs[1:])
+    vals = ((np.repeat(db.fi.astype(np.int64) * 3, deg)
+             + (np.arange(offs[-1]) % 3)) % (2 * P)).astype(np.int64)
+    keys = db.keys
+
+    def one_pass():
+        t0 = time.time()
+        h = eng.fa.probe_compact(off_m, len_m)
+        member = np.zeros(2 * P + 2, dtype=bool)
+        distance = {}
+        for s in range(P):
+            eid = s
+            member[eid] = True
+            a, b = int(h["row_off"][s]), int(h["row_off"][s + 1])
+            codes = h["code"][a:b]
+            if not len(codes):
+                continue
+            pos = np.searchsorted(keys, codes)
+            pos = np.minimum(pos, len(keys) - 1)
+            pos = pos[keys[pos] == codes]
+            st, en = offs[pos], offs[pos + 1]
+            cnts = en - st
+            tot = int(cnts.sum())
+            if not tot:
+                continue
+            base = np.repeat(st - np.concatenate(
+                [[0], np.cumsum(cnts)[:-1]]), cnts)
+            flat = vals[base + np.arange(tot)]
+            sel = flat[(flat != eid) & member[flat]]
+            others, counts = np.unique(sel, return_counts=True)
+            for o, c in zip(others.tolist(), counts.tolist()):
+                key = (eid, int(o))
+                distance[key] = distance.get(key, 0) + int(c)
+        return time.time() - t0, len(distance)
+
+    one_pass()
+    best = None
+    for _ in range(3):
+        dt, n_pairs = one_pass()
+        best = dt if best is None else min(best, dt)
+    rate = P / best
+    log(f"matrix path: {P} proteins in {best:.2f}s best-of-3 "
+        f"({rate:.0f} proteins/s, {n_pairs} pairs)")
+    return rate
 
 
 def main():
@@ -256,18 +417,52 @@ def main():
         log("compile cache unavailable:", e)
     rng = np.random.default_rng(0)
     db, offsets, lengths = build_corpus(rng)
-    cpu_rate = bench_cpu(db, offsets, lengths)
+    cpu_rate, hp = bench_cpu(db, offsets, lengths)
     tpu_rate = bench_tpu(db, offsets, lengths)
+
+    # Per-workload artifact (VERDICT r3 #6): every BASELINE workload in
+    # one JSON so regressions are visible round-over-round.  Sections are
+    # env-gated and individually fail-soft.
+    workloads = {"query": {"proteins_per_s": round(tpu_rate, 1),
+                           "cpu_core_proteins_per_s": round(cpu_rate, 1)}}
+    eng = mapping = None
     if os.environ.get("BENCH_FAMILY", "1") == "1":
         try:
-            bench_family(db, offsets, lengths, rng)
+            from close_kmers_tpu.core.api import KmerEngine
+            dbf, mapping = make_family_universe(db, rng)
+            eng = KmerEngine(dbf)
+            fam = bench_family(eng, mapping, offsets, lengths)
+            workloads["family_best_match"] = {
+                "proteins_per_s": round(fam, 1)}
         except Exception as e:
             log("family bench failed:", e)
+    if eng is not None and os.environ.get("BENCH_FASTQ", "1") == "1":
+        try:
+            fq = bench_fastq(eng, mapping, offsets)
+            workloads["fastq"] = {"reads_per_s": round(fq, 1)}
+        except Exception as e:
+            log("fastq bench failed:", e)
+    if eng is not None and os.environ.get("BENCH_GENOME", "1") == "1":
+        try:
+            mbp, cpu_mbp = bench_genome(eng, offsets, hp)
+            workloads["genome"] = {"mbp_per_s": round(mbp, 2)}
+            if cpu_mbp is not None:
+                workloads["genome"]["cpu_core_mbp_per_s"] = round(cpu_mbp, 2)
+        except Exception as e:
+            log("genome bench failed:", e)
+    if eng is not None and os.environ.get("BENCH_MATRIX", "1") == "1":
+        try:
+            mx = bench_matrix(eng, offsets, lengths, rng)
+            workloads["matrix"] = {"proteins_per_s": round(mx, 1)}
+        except Exception as e:
+            log("matrix bench failed:", e)
+
     print(json.dumps({
         "metric": "proteins_per_s_per_chip",
         "value": round(tpu_rate, 1),
         "unit": "proteins/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
+        "workloads": workloads,
     }))
 
 

@@ -120,7 +120,12 @@ def family_scores(codes, row_off, keys, offs, vals):
 _PRIMES = [3769, 6337, 12791, 24571, 51043, 101533, 206933, 400187,
            821999, 2000003, 4000037, 8000009, 16000057, 32000011,
            64000031, 128000003, 248000009, 508000037, 1073741824,
-           1400303159, 2147483648]
+           1400303159, 2147483648,
+           # extensions beyond the reference's ladder so the prime>3n
+           # sizing rule (build_signature_kmers.cc:862-884) holds at the
+           # ~1e9-key scale its own table never reached (kguts.h:259
+           # fell back to 2^31/2^30 bucket experiments there)
+           2912934743, 4000000007]
 
 
 class HashPipeline:

@@ -63,6 +63,45 @@ def build_mapping(rng, db):
     return mapping
 
 
+def load_midsize(path: str):
+    """A >= 10M-key SignatureDB for the cross-process fixture: two
+    disjoint slices of a real scale-build npz when available (uneven hi
+    occupancy — the low range is ~4x denser per hi bucket than the high
+    tail), else an equivalent synthetic shape."""
+    import numpy as np
+    from close_kmers_tpu.db.signature_db import SignatureDB
+
+    if path != "synth" and os.path.exists(path):
+        z = np.load(path)
+        keys_all = z["keys"]
+        n = len(keys_all)
+        a = slice(0, 8_000_000)
+        b = slice(n - 2_000_000, n)
+        keys = np.concatenate([keys_all[a], keys_all[b]])
+        fi = np.concatenate([z["fi"][a], z["fi"][b]]).astype(np.int32)
+        oi = np.concatenate([z["oi"][a], z["oi"][b]]).astype(np.int32)
+        av = np.concatenate([z["avg_off"][a], z["avg_off"][b]]) \
+            .astype(np.int32)
+        wt = np.concatenate([z["wt"][a], z["wt"][b]]).astype(np.float32)
+        return SignatureDB(keys, fi, oi, av, wt)
+    rng = np.random.default_rng(7)
+    from close_kmers_tpu.params import LO_CARD, HI_CARD
+    lows = rng.integers(0, HI_CARD // 8, size=8_000_000, dtype=np.int64)
+    highs = rng.integers(HI_CARD - HI_CARD // 32, HI_CARD,
+                         size=2_000_000, dtype=np.int64)
+    his = np.concatenate([lows, highs])
+    keys = np.unique(his * LO_CARD
+                     + rng.integers(0, LO_CARD, size=len(his),
+                                    dtype=np.int64))
+    return SignatureDB(
+        keys,
+        rng.integers(0, 500, size=len(keys)).astype(np.int32),
+        rng.integers(-1, 9, size=len(keys)).astype(np.int32),
+        rng.integers(0, 300, size=len(keys)).astype(np.int32),
+        rng.uniform(0.1, 4.0, size=len(keys)).astype(np.float32),
+    )
+
+
 def run_case(pid, mesh, mesh_local, db, rng, label: str) -> int:
     import jax
     import numpy as np
@@ -134,10 +173,42 @@ def run_case(pid, mesh, mesh_local, db, rng, label: str) -> int:
                 f"proc {pid} [{label}]: step output {name} shard mismatch"
             n_checked += 1
 
+    # ROUTED serving step across processes (the one-gather-per-window
+    # exchange path + real-params scoring + device best-call pack +
+    # family rollup rows) vs the identical program on the trivial local
+    # mesh (all_to_all/psum = identity there).
+    from close_kmers_tpu.params import EngineParams
+    from close_kmers_tpu.parallel.sharding import serve_step_sharded
+    params = EngineParams(min_hits=3, max_gap=150)
+    t0 = time.time()
+    r_outs = serve_step_sharded(sdb, g_off, g_len, params=params,
+                                fam_shards=fam_shards, cap_seq=CAP,
+                                routed=True, capacity_factor=None)
+    jax.block_until_ready(r_outs[0])
+    t_serve = time.time() - t0
+    ref_s = serve_step_sharded(sdb1, offsets, lengths.astype(np.int32),
+                               params=params, fam_shards=fam1,
+                               cap_seq=CAP, routed=True,
+                               capacity_factor=None)
+    ref_s_np = [np.asarray(r) for r in ref_s]
+    for name, arr, exp in zip(("best_pack", "n_ovf", "n_drop", "rollup"),
+                              r_outs, ref_s_np):
+        if name in ("n_ovf", "n_drop"):
+            continue              # per-device counters, shapes differ
+        for idx, data in addressable_rows(arr):
+            assert np.array_equal(data, exp[idx]), \
+                f"proc {pid} [{label}]: routed serve {name} shard mismatch"
+            n_checked += 1
+    # nothing dropped on this process's devices (global fetch is not
+    # possible for non-addressable shards)
+    for _idx, data in addressable_rows(r_outs[2]):
+        assert int(data.sum()) == 0
+
     layout = ("sub" if sdb.sub_blocks is not None
               else "wide" if sdb.payload_wide is not None else "bin")
     print(f"proc {pid} [{label}/{layout}]: OK ({n_checked} shards, "
-          f"probe {t_probe:.1f}s, full step {t_step:.1f}s)", flush=True)
+          f"probe {t_probe:.1f}s, full step {t_step:.1f}s, "
+          f"routed serve {t_serve:.1f}s)", flush=True)
     return n_checked
 
 
@@ -172,13 +243,26 @@ def main() -> int:
     mesh_local = Mesh(
         np.array(jax.local_devices()[:1]).reshape(1, 1), ("data", "table"))
 
-    rng = np.random.default_rng(42)
-    db = build_db(rng, deep=False)
-    run_case(pid, mesh, mesh_local, db, rng, "shallow")
+    midsize = None
+    if "--midsize" in sys.argv:
+        midsize = sys.argv[sys.argv.index("--midsize") + 1]
 
-    rng2 = np.random.default_rng(43)
-    db2 = build_db(rng2, deep=True)
-    run_case(pid, mesh, mesh_local, db2, rng2, "deep")
+    if midsize is not None:
+        # VERDICT r3 #8: one cross-process case over a REAL mid-size DB
+        # slice (>= 10M keys from the 208M scale build when present,
+        # else a synthetic fallback), with deliberately uneven hi-space
+        # occupancy (two disjoint key ranges), instead of the 30k-key toy.
+        db3 = load_midsize(midsize)
+        rng3 = np.random.default_rng(44)
+        run_case(pid, mesh, mesh_local, db3, rng3, "midsize")
+    else:
+        rng = np.random.default_rng(42)
+        db = build_db(rng, deep=False)
+        run_case(pid, mesh, mesh_local, db, rng, "shallow")
+
+        rng2 = np.random.default_rng(43)
+        db2 = build_db(rng2, deep=True)
+        run_case(pid, mesh, mesh_local, db2, rng2, "deep")
 
     if bench:
         keys = db.keys

@@ -1,0 +1,224 @@
+"""Single-chip emulation of the ROUTED sharded probe (VERDICT r3 #1).
+
+A replicated table group makes EVERY chip gather every window of its
+data replica (parallel/sharding._merge_probe); the routed design
+(_routed_probe_core) gives each chip 1/S of the windows: it computes
+each window's owning shard, exchanges with one all_to_all per
+direction, and probes ONLY what it owns.  One real chip cannot run the
+S-chip exchange, so this script measures the routed design's per-chip
+COMPONENTS separately on real silicon (devperf chained scalar-dependence
+methodology — naive timing is invalid through the relay):
+
+  full      probe of all Nw windows vs the FULL table
+            (the replicated path's per-chip probe cost)
+  shard s   probe of the windows owned by shard s (padded to the routing
+            capacity) vs shard s's LOCAL table slice
+            (the routed path's per-chip probe cost)
+  route     the per-chip routing compute alone: owner searchsorted +
+            stable 4-operand sort + capacity scatter + inverse result
+            scatter, with an identity exchange (the all_to_all itself
+            rides ICI on a pod, which this box cannot measure)
+
+Routed per-chip cost = route + shard_mean; replicated per-chip = full.
+Writes a summary row for PERF.md.
+
+Usage: python scripts/routed_exp.py [--shards 8] [--batch 8192]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+os.environ.setdefault("BENCH_N_QUERY", "8192")
+import bench  # noqa: E402  (corpus builder + cache)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from close_kmers_tpu.core.engine import (  # noqa: E402
+    DeviceDB, encode_windows, probe_windows)
+from close_kmers_tpu.db.signature_db import SignatureDB  # noqa: E402
+from close_kmers_tpu.params import LO_CARD  # noqa: E402
+
+K_HI = 12
+K_LO = 4
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure(name, fn, *args):
+    jfn = jax.jit(fn)
+
+    def run(k):
+        c = jnp.float32(0)
+        t0 = time.time()
+        for _ in range(k):
+            c = jfn(c, *args)
+        v = float(np.asarray(c))
+        return time.time() - t0, v
+
+    t0 = time.time()
+    run(2)
+    log(f"  [{name}: compile+warm {time.time()-t0:.1f}s]")
+    t_lo, _ = run(K_LO)
+    t_hi, _ = run(K_HI)
+    per = (t_hi - t_lo) / (K_HI - K_LO)
+    log(f"  {name}: {per*1e3:.1f} ms/call")
+    return per
+
+
+def _ddb_args(ddb):
+    return (ddb.bucket_pair, ddb.lo, ddb.payload, ddb.lo_wide,
+            ddb.payload_wide, ddb.sub_header, ddb.sub_blocks,
+            ddb.fused_wide)
+
+
+def probe_stage(meta):
+    n, n_steps, wide_w, sub_w, fused_w = meta
+
+    def fn(c, bp, lo_a, pay, lw, pw, sh, sb, fw, hi, lo, valid):
+        ddb = DeviceDB(bp, lo_a, pay, n_steps, n, lw, pw, wide_w,
+                       sh, sb, sub_w, fw, fused_w)
+        found, fi, oi, av, wt, idx = probe_windows(ddb, hi, lo, valid)
+        return c + jnp.where(found, wt, 0.0).sum() \
+            + found.sum(dtype=jnp.int32).astype(jnp.float32) * 1e-6
+    return fn
+
+
+def route_stage(S, cap):
+    def fn(c, hif, lof, vf, bounds):
+        i32 = jnp.int32
+        Nw = hif.shape[0]
+        owner = jnp.searchsorted(bounds, hif, side="right").astype(i32) - 1
+        owner = jnp.where(vf, jnp.clip(owner, 0, S - 1), S)
+        iota = jax.lax.iota(i32, Nw)
+        s_owner, s_hi, s_lo, s_pos = jax.lax.sort(
+            (owner, hif, lof, iota), num_keys=1, is_stable=True)
+        start = jnp.searchsorted(s_owner, jnp.arange(S, dtype=i32),
+                                 side="left").astype(i32)
+        rank = iota - start[jnp.minimum(s_owner, S - 1)]
+        fits = (s_owner < S) & (rank < cap)
+        slot = jnp.where(fits, s_owner * cap + rank, S * cap)
+        send_hi = jnp.full(S * cap, -1, i32).at[slot].set(s_hi, mode="drop")
+        send_lo = jnp.full(S * cap, -2, i32).at[slot].set(s_lo, mode="drop")
+        # identity "exchange": pretend results came back (4 planes), do
+        # the result-side gather + inverse scatter exactly like the core
+        ret = jnp.stack([send_hi, send_lo, send_hi, send_lo], axis=-1)
+        res_sorted = jnp.where(fits[:, None],
+                               ret[jnp.minimum(slot, S * cap - 1)], 0)
+        out = jnp.zeros((Nw, 4), i32).at[s_pos].set(res_sorted)
+        return c + (out[:, 0].sum() + send_lo.sum()).astype(jnp.float32) \
+            * 1e-9
+    return fn
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=8192)
+    args = ap.parse_args()
+    S = args.shards
+    B = args.batch
+
+    cache_dir = os.path.join(bench.CACHE, "jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    rng = np.random.default_rng(0)
+    db, offsets, lengths = bench.build_corpus(rng)
+    offsets = offsets[:B]
+    lengths = lengths[:B]
+
+    # host-side window encode (once): the encode stage is ~0.4 ms and
+    # identical in both designs, so it is excluded from the comparison
+    hi_d, lo_d, valid_d = jax.jit(encode_windows)(
+        jnp.asarray(offsets), jnp.asarray(lengths))
+    hi_h = np.asarray(hi_d)
+    lo_h = np.asarray(lo_d)
+    valid_h = np.asarray(valid_d)
+    Bq, W = hi_h.shape
+    Nw = Bq * W
+    log(f"windows: {Bq} x {W} = {Nw:,}")
+
+    # shard plan: bucket-aligned equal-key hi ranges (sharding bounds)
+    from close_kmers_tpu.parallel.sharding import _hi_range_bounds
+    h_bounds = _hi_range_bounds(db, S)
+    bs = db.bucket_start
+
+    # --- full-table probe (replicated per-chip cost)
+    ddb = DeviceDB.from_db(db)
+    meta = (ddb.n, ddb.n_steps, ddb.wide_w, ddb.sub_w, ddb.fused_w)
+    t_full = measure(
+        "full", probe_stage(meta), *_ddb_args(ddb), hi_d, lo_d, valid_d)
+
+    # --- routed: host partition (shard owner per window)
+    hif = np.where(valid_h, hi_h, 0).ravel()
+    lof = np.where(valid_h, lo_h, -2).ravel()
+    vf = valid_h.ravel()
+    owner = np.searchsorted(h_bounds, hif, side="right") - 1
+    owner[~vf] = -1
+    counts = np.bincount(owner[owner >= 0], minlength=S)
+    cap = int(counts.max())
+    cap = -(-cap // 256) * 256          # uniform padded shape, one compile
+    log(f"per-shard window counts: min {counts.min():,} "
+        f"max {counts.max():,} (cap {cap:,})")
+
+    per_shard = []
+    for s in range(S):
+        h0, h1 = int(h_bounds[s]), int(h_bounds[s + 1])
+        a, b = int(bs[h0]), int(bs[h1])
+        sub = SignatureDB(db.keys[a:b] - np.int64(h0) * LO_CARD,
+                          db.fi[a:b], db.oi[a:b], db.avg_off[a:b],
+                          db.wt[a:b], n_hi=h1 - h0)
+        sddb = DeviceDB.from_db(sub)
+        smeta = (sddb.n, sddb.n_steps, sddb.wide_w, sddb.sub_w,
+                 sddb.fused_w)
+        m = owner == s
+        sh_hi = np.zeros((1, cap), np.int32)
+        sh_lo = np.full((1, cap), -2, np.int32)
+        k = int(m.sum())
+        sh_hi[0, :k] = hif[m] - h0
+        sh_lo[0, :k] = lof[m]
+        sh_valid = sh_hi > -1
+        sh_valid[0, :k] = True
+        t_s = measure(f"shard{s} ({k:,} wins, {b-a:,} keys)",
+                      probe_stage(smeta), *_ddb_args(sddb),
+                      jnp.asarray(sh_hi), jnp.asarray(sh_lo),
+                      jnp.asarray(sh_valid))
+        per_shard.append(t_s)
+
+    # --- routing compute overhead (identity exchange)
+    cap_core = max(8, -(-int(Nw / S * 2.0) // 1))
+    t_route = measure(
+        "route", route_stage(S, min(cap_core, Nw)),
+        jnp.asarray(hif.astype(np.int32)), jnp.asarray(lof.astype(np.int32)),
+        jnp.asarray(vf), jnp.asarray(h_bounds.astype(np.int32)))
+
+    mean_shard = float(np.mean(per_shard))
+    routed = t_route + mean_shard
+    log("")
+    log(f"replicated per-chip probe: {t_full*1e3:8.1f} ms / {Nw:,} windows")
+    log(f"routed     per-chip probe: {routed*1e3:8.1f} ms "
+        f"(route {t_route*1e3:.1f} + shard-local {mean_shard*1e3:.1f}; "
+        f"shards {', '.join(f'{t*1e3:.1f}' for t in per_shard)})")
+    log(f"per-chip speedup at S={S}: {t_full/routed:.2f}x "
+        f"(ideal {S}x minus exchange+imbalance; all_to_all wire excluded)")
+    print(f"ROUTED_EXP S={S} B={Bq} full_ms={t_full*1e3:.2f} "
+          f"route_ms={t_route*1e3:.2f} shard_mean_ms={mean_shard*1e3:.2f} "
+          f"speedup={t_full/routed:.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

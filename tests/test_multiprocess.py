@@ -80,3 +80,17 @@ def test_two_process_bench_reports_throughput():
     outs = _run_procs(2, extra=("--bench",))
     for i, out in enumerate(outs):
         assert "seqs/s/process" in out, out
+
+
+@pytest.mark.slow
+def test_two_process_midsize_real_slice():
+    """Cross-process parity over a REAL mid-size DB (>= 10M keys sliced
+    from the 208M scale build when its artifact exists, else an
+    equivalently-shaped synthetic DB), with uneven hi-space occupancy —
+    probe, full annotate step, AND the routed serving step."""
+    scale = "/root/scale/scale_db.npz"
+    src = scale if os.path.exists(scale) else "synth"
+    outs = _run_procs(2, extra=("--midsize", src), timeout=1200)
+    for i, out in enumerate(outs):
+        assert f"proc {i} [midsize/" in out, out
+        assert f"proc {i}: OK" in out, out
