@@ -171,7 +171,34 @@ def bench_tpu(db, offsets, lengths):
             f"{total_calls} calls")
         if best is None or dt / n_done < best[1] / best[0]:
             best = (n_done, dt)
-    return best[0] / best[1]
+    return best[0] / best[1], ds
+
+
+def bench_device_resident(ds, offsets, lengths):
+    """Chained scalar-dependence rate of the fused probe+scan+compact
+    program (scripts/devperf.py methodology): call i carries a scalar
+    dependence on call i-1, floors cancel in the (hi-lo)-run difference.
+    This is the CODE-controlled per-chip rate a PCIe-attached production
+    host approaches; the e2e headline above it swings 2-3x with the dev
+    relay's wire mood (PERF.md round-3 variance study), so the artifact
+    records both."""
+    import contextlib
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    import devperf
+    import jax.numpy as jnp
+    d = ds.ddb
+    devperf.WIDE_W = d.wide_w
+    devperf.SUB_W = d.sub_w
+    with contextlib.redirect_stdout(sys.stderr):
+        per = devperf.measure(
+            "device-resident probe+scan+compact", devperf.stage_compact,
+            devperf._ddb_args(d), d.n, d.n_steps,
+            jnp.asarray(offsets[:BATCH]), jnp.asarray(lengths[:BATCH]))
+    rate = BATCH / per
+    log(f"device-resident (chained): {rate:.0f} proteins/s "
+        f"({per*1e3:.1f} ms / {BATCH})")
+    return rate
 
 
 def bench_cpu(db, offsets, lengths):
@@ -418,13 +445,20 @@ def main():
     rng = np.random.default_rng(0)
     db, offsets, lengths = build_corpus(rng)
     cpu_rate, hp = bench_cpu(db, offsets, lengths)
-    tpu_rate = bench_tpu(db, offsets, lengths)
+    tpu_rate, ds = bench_tpu(db, offsets, lengths)
 
     # Per-workload artifact (VERDICT r3 #6): every BASELINE workload in
     # one JSON so regressions are visible round-over-round.  Sections are
     # env-gated and individually fail-soft.
     workloads = {"query": {"proteins_per_s": round(tpu_rate, 1),
                            "cpu_core_proteins_per_s": round(cpu_rate, 1)}}
+    if os.environ.get("BENCH_RESIDENT", "1") == "1":
+        try:
+            dev = bench_device_resident(ds, offsets, lengths)
+            workloads["query"]["device_resident_proteins_per_s"] = \
+                round(dev, 1)
+        except Exception as e:
+            log("device-resident bench failed:", e)
     eng = mapping = None
     if os.environ.get("BENCH_FAMILY", "1") == "1":
         try:

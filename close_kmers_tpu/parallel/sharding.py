@@ -454,10 +454,16 @@ def _routed_probe_core(bp, lo_t, payload, hi_base, pw, shh, sb, bounds,
     rank = iota - start[jnp.minimum(s_owner, S - 1)]
     fits = (s_owner < S) & (rank < cap)
     slot = jnp.where(fits, s_owner * cap + rank, S * cap)
-    send_hi = jnp.full(S * cap, -1, i32).at[slot].set(s_hi, mode="drop")
-    send_lo = jnp.full(S * cap, -2, i32).at[slot].set(s_lo, mode="drop")
-    send = jnp.stack([send_hi, send_lo], axis=-1).reshape(S, cap, 2)
-    recv = jax.lax.all_to_all(send, "table", 0, 0, tiled=True)
+    # ONE 2-wide row scatter builds the send buffer (slots are strictly
+    # increasing where they fit).  An invalid slot's lo never matters:
+    # recv validity is hi >= 0 and the probe re-masks lo itself, so a
+    # single -1 fill serves both planes.  (XLA TPU scatters cost ~6x a
+    # gather — routed_exp decomposition — so the RESULT side below uses
+    # argsort+gather instead of the 105 ms/2.49M inverse scatter.)
+    send = jnp.full((S * cap, 2), -1, i32).at[slot].set(
+        jnp.stack([s_hi, s_lo], axis=-1), mode="drop")
+    recv = jax.lax.all_to_all(send.reshape(S, cap, 2), "table", 0, 0,
+                              tiled=True)
 
     def probe_planes(p_hi, p_lo):
         """Probe flat windows locally; return planes + local row idx.
@@ -484,8 +490,21 @@ def _routed_probe_core(bp, lo_t, payload, hi_base, pw, shh, sb, bounds,
         .reshape(S, cap, P_)
     ret = jax.lax.all_to_all(back, "table", 0, 0, tiled=True) \
         .reshape(S * cap, P_)
+
+    def row_gather(tab, idx):
+        # keep the flat index count off the power-of-two-rich gather
+        # cliff (engine._probe_count_pad; Nw = B*W is usually 2^k-rich)
+        from ..core.engine import _probe_count_pad
+        n = idx.shape[0]
+        npad = _probe_count_pad(n)
+        if npad != n:
+            idx = jnp.concatenate(
+                [idx, jnp.zeros(npad - n, idx.dtype)])
+        return tab[idx][:n]
+
     res_sorted = jnp.where(fits[:, None],
-                           ret[jnp.minimum(slot, S * cap - 1)], 0)
+                           row_gather(ret, jnp.minimum(slot, S * cap - 1)),
+                           0)
 
     # --- exact fallback for windows beyond the per-pair capacity:
     # compact them, all_gather across the table axis, probe everywhere,
@@ -506,7 +525,11 @@ def _routed_probe_core(bp, lo_t, payload, hi_base, pw, shh, sb, bounds,
                        mine[jnp.minimum(ov_slot, ov_cap - 1)], 0)
     res_sorted = jnp.where(ovf[:, None], ov_res, res_sorted)
 
-    out = jnp.zeros((Nw, P_), i32).at[s_pos].set(res_sorted)
+    # unsort via the inverse permutation + row gather: the equivalent
+    # scatter measured 105 ms/2.49M windows on v5e vs ~21 ms for
+    # argsort+gather (scripts/routed_exp.py --decomp)
+    inv = jnp.argsort(s_pos)
+    out = row_gather(res_sorted, inv)
     fi1 = out[:, 0].reshape(shp)
     found = fi1 > 0
     fi = jnp.where(found, fi1 - 1, 0)

@@ -56,7 +56,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure(name, fn, *args):
+def measure(name, fn, *args, k_hi=K_HI, k_lo=K_LO):
     jfn = jax.jit(fn)
 
     def run(k):
@@ -70,10 +70,10 @@ def measure(name, fn, *args):
     t0 = time.time()
     run(2)
     log(f"  [{name}: compile+warm {time.time()-t0:.1f}s]")
-    t_lo, _ = run(K_LO)
-    t_hi, _ = run(K_HI)
-    per = (t_hi - t_lo) / (K_HI - K_LO)
-    log(f"  {name}: {per*1e3:.1f} ms/call")
+    t_lo, _ = run(k_lo)
+    t_hi, _ = run(k_hi)
+    per = (t_hi - t_lo) / (k_hi - k_lo)
+    log(f"  {name}: {per*1e3:.2f} ms/call")
     return per
 
 
@@ -96,8 +96,12 @@ def probe_stage(meta):
 
 
 def route_stage(S, cap):
+    """The routing compute exactly as _routed_probe_core performs it
+    (send = one 2-wide row scatter; result side = cliff-padded gathers +
+    argsort-inverse), with an identity exchange."""
     def fn(c, hif, lof, vf, bounds):
         i32 = jnp.int32
+        from close_kmers_tpu.core.engine import _probe_count_pad
         Nw = hif.shape[0]
         owner = jnp.searchsorted(bounds, hif, side="right").astype(i32) - 1
         owner = jnp.where(vf, jnp.clip(owner, 0, S - 1), S)
@@ -109,23 +113,108 @@ def route_stage(S, cap):
         rank = iota - start[jnp.minimum(s_owner, S - 1)]
         fits = (s_owner < S) & (rank < cap)
         slot = jnp.where(fits, s_owner * cap + rank, S * cap)
-        send_hi = jnp.full(S * cap, -1, i32).at[slot].set(s_hi, mode="drop")
-        send_lo = jnp.full(S * cap, -2, i32).at[slot].set(s_lo, mode="drop")
-        # identity "exchange": pretend results came back (4 planes), do
-        # the result-side gather + inverse scatter exactly like the core
-        ret = jnp.stack([send_hi, send_lo, send_hi, send_lo], axis=-1)
-        res_sorted = jnp.where(fits[:, None],
-                               ret[jnp.minimum(slot, S * cap - 1)], 0)
-        out = jnp.zeros((Nw, 4), i32).at[s_pos].set(res_sorted)
-        return c + (out[:, 0].sum() + send_lo.sum()).astype(jnp.float32) \
-            * 1e-9
+        send = jnp.full((S * cap, 2), -1, i32).at[slot].set(
+            jnp.stack([s_hi, s_lo], axis=-1), mode="drop")
+
+        def row_gather(tab, idx):
+            n = idx.shape[0]
+            npad = _probe_count_pad(n)
+            if npad != n:
+                idx = jnp.concatenate([idx, jnp.zeros(npad - n, idx.dtype)])
+            return tab[idx][:n]
+
+        ret = jnp.concatenate([send, send], axis=-1)  # 4 result planes
+        res_sorted = jnp.where(
+            fits[:, None], row_gather(ret, jnp.minimum(slot, S * cap - 1)),
+            0)
+        inv = jnp.argsort(s_pos)
+        out = row_gather(res_sorted, inv)
+        return c + (out[:, 0].sum() + send[:, 1].sum()) \
+            .astype(jnp.float32) * 1e-9
     return fn
+
+
+def route_decomp_stages(S, cap):
+    """Per-op decomposition of the routing compute, to find where the
+    150 ms went (XLA TPU scatter suspicion)."""
+    i32 = jnp.int32
+
+    def base(hif, lof, vf, bounds):
+        Nw = hif.shape[0]
+        owner = jnp.searchsorted(bounds, hif, side="right").astype(i32) - 1
+        owner = jnp.where(vf, jnp.clip(owner, 0, S - 1), S)
+        iota = jax.lax.iota(i32, Nw)
+        return owner, iota
+
+    def s_owner_only(c, hif, lof, vf, bounds):
+        owner, iota = base(hif, lof, vf, bounds)
+        return c + owner.sum().astype(jnp.float32) * 1e-6
+
+    def s_sort(c, hif, lof, vf, bounds):
+        owner, iota = base(hif, lof, vf, bounds)
+        so, sh, sl, sp = jax.lax.sort((owner, hif, lof, iota), num_keys=1,
+                                      is_stable=True)
+        return c + (so[0] + sh[-1] + sp[0]).astype(jnp.float32) * 1e-6
+
+    def s_send_scatter(c, hif, lof, vf, bounds):
+        owner, iota = base(hif, lof, vf, bounds)
+        so, sh, sl, sp = jax.lax.sort((owner, hif, lof, iota), num_keys=1,
+                                      is_stable=True)
+        start = jnp.searchsorted(so, jnp.arange(S, dtype=i32),
+                                 side="left").astype(i32)
+        rank = iota - start[jnp.minimum(so, S - 1)]
+        fits = (so < S) & (rank < cap)
+        slot = jnp.where(fits, so * cap + rank, S * cap)
+        send_hi = jnp.full(S * cap, -1, i32).at[slot].set(sh, mode="drop")
+        send_lo = jnp.full(S * cap, -2, i32).at[slot].set(sl, mode="drop")
+        return c + (send_hi.sum() + send_lo.sum()).astype(jnp.float32) \
+            * 1e-9
+
+    def s_send_gather(c, hif, lof, vf, bounds):
+        owner, iota = base(hif, lof, vf, bounds)
+        so, sh, sl, sp = jax.lax.sort((owner, hif, lof, iota), num_keys=1,
+                                      is_stable=True)
+        start = jnp.searchsorted(so, jnp.arange(S + 1, dtype=i32),
+                                 side="left").astype(i32)
+        # sorted stream is contiguous per destination: send[s, r] =
+        # sorted[start[s] + r], masked r < count[s] — gathers, no scatter
+        r = jax.lax.broadcasted_iota(i32, (S, cap), 1)
+        idx = jnp.minimum(start[:-1, None] + r, hif.shape[0] - 1)
+        msk = r < (start[1:, None] - start[:-1, None])
+        send_hi = jnp.where(msk, sh[idx], -1)
+        send_lo = jnp.where(msk, sl[idx], -2)
+        return c + (send_hi.sum() + send_lo.sum()).astype(jnp.float32) \
+            * 1e-9
+
+    def s_unsort_scatter(c, hif, lof, vf, bounds):
+        owner, iota = base(hif, lof, vf, bounds)
+        so, sh, sl, sp = jax.lax.sort((owner, hif, lof, iota), num_keys=1,
+                                      is_stable=True)
+        vals = jnp.stack([sh, sl, sh, sl], -1)
+        out = jnp.zeros((hif.shape[0], 4), i32).at[sp].set(vals)
+        return c + out[:, 0].sum().astype(jnp.float32) * 1e-9
+
+    def s_unsort_gather(c, hif, lof, vf, bounds):
+        owner, iota = base(hif, lof, vf, bounds)
+        so, sh, sl, sp = jax.lax.sort((owner, hif, lof, iota), num_keys=1,
+                                      is_stable=True)
+        inv = jnp.argsort(sp)          # one more sort, then a gather
+        vals = jnp.stack([sh, sl, sh, sl], -1)
+        out = vals[inv]
+        return c + out[:, 0].sum().astype(jnp.float32) * 1e-9
+
+    return [("owner", s_owner_only), ("sort", s_sort),
+            ("send/scatter", s_send_scatter),
+            ("send/gather", s_send_gather),
+            ("unsort/scatter", s_unsort_scatter),
+            ("unsort/gather", s_unsort_gather)]
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--decomp", action="store_true")
     args = ap.parse_args()
     S = args.shards
     B = args.batch
@@ -139,6 +228,22 @@ def main() -> int:
     db, offsets, lengths = bench.build_corpus(rng)
     offsets = offsets[:B]
     lengths = lengths[:B]
+
+    if args.decomp:
+        hi_d, lo_d, valid_d = jax.jit(encode_windows)(
+            jnp.asarray(offsets), jnp.asarray(lengths))
+        hif = np.where(np.asarray(valid_d), np.asarray(hi_d), 0).ravel()
+        lof = np.where(np.asarray(valid_d), np.asarray(lo_d), -2).ravel()
+        vf = np.asarray(valid_d).ravel()
+        from close_kmers_tpu.parallel.sharding import _hi_range_bounds
+        h_bounds = _hi_range_bounds(db, S)
+        cap = max(8, int(len(hif) / S * 1.25) // 256 * 256)
+        for name, fn in route_decomp_stages(S, cap):
+            measure(name, fn, jnp.asarray(hif.astype(np.int32)),
+                    jnp.asarray(lof.astype(np.int32)), jnp.asarray(vf),
+                    jnp.asarray(h_bounds.astype(np.int32)),
+                    k_hi=24, k_lo=8)
+        return 0
 
     # host-side window encode (once): the encode stage is ~0.4 ms and
     # identical in both designs, so it is excluded from the comparison
@@ -192,18 +297,21 @@ def main() -> int:
         sh_lo[0, :k] = lof[m]
         sh_valid = sh_hi > -1
         sh_valid[0, :k] = True
+        # ~1-3 ms calls need many more chained reps than the 16 ms full
+        # probe for the same relative resolution
         t_s = measure(f"shard{s} ({k:,} wins, {b-a:,} keys)",
                       probe_stage(smeta), *_ddb_args(sddb),
                       jnp.asarray(sh_hi), jnp.asarray(sh_lo),
-                      jnp.asarray(sh_valid))
-        per_shard.append(t_s)
+                      jnp.asarray(sh_valid), k_hi=96, k_lo=32)
+        per_shard.append(max(t_s, 0.0))
 
     # --- routing compute overhead (identity exchange)
     cap_core = max(8, -(-int(Nw / S * 2.0) // 1))
     t_route = measure(
         "route", route_stage(S, min(cap_core, Nw)),
         jnp.asarray(hif.astype(np.int32)), jnp.asarray(lof.astype(np.int32)),
-        jnp.asarray(vf), jnp.asarray(h_bounds.astype(np.int32)))
+        jnp.asarray(vf), jnp.asarray(h_bounds.astype(np.int32)),
+        k_hi=48, k_lo=16)
 
     mean_shard = float(np.mean(per_shard))
     routed = t_route + mean_shard
