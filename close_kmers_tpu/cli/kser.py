@@ -82,7 +82,8 @@ def warmup_context(ctx) -> None:
 
 
 def load_server_context(data_dir: str, args=None, batch_size: int = 2048,
-                        n_shards: int = 0, overrides: dict | None = None):
+                        n_shards: int = 0, overrides: dict | None = None,
+                        routed: bool = False):
     from ..core.api import KmerEngine
     from ..db.signature_db import SignatureDB
     from ..db.family_db import FamilyReps
@@ -97,8 +98,9 @@ def load_server_context(data_dir: str, args=None, batch_size: int = 2048,
     if n_shards:
         from ..parallel.sharding import make_mesh
         mesh = make_mesh(1, n_shards)
-        print(f"serving with {n_shards} table shards", file=sys.stderr)
-    engine = KmerEngine(db, mesh=mesh)
+        print(f"serving with {n_shards} table shards"
+              + (" (routed probe)" if routed else ""), file=sys.stderr)
+    engine = KmerEngine(db, mesh=mesh, routed=routed)
 
     found = discover_data_dir(data_dir)
     if overrides:
@@ -219,6 +221,11 @@ def main(argv=None):
     ap.add_argument("--shards", type=int, default=0,
                     help="range-shard the DB across this many devices "
                          "(table axis of a 1 x N mesh)")
+    ap.add_argument("--routed-probe", action="store_true",
+                    help="with --shards: route windows to their owning "
+                         "shard with one all_to_all per direction (one "
+                         "gather per window pod-wide) instead of the "
+                         "replicated psum-merge probe")
     ap.add_argument("--pid-file", default=None,
                     help="write the server pid to this file (kser.cc:215-245)")
     ap.add_argument("--daemonize", action="store_true",
@@ -275,7 +282,8 @@ def main(argv=None):
                      families_version=args.families_version,
                      kmer_version=args.kmer_version)
     ctx = load_server_context(data_dir, args, args.batch_size,
-                              args.shards, overrides=overrides)
+                              args.shards, overrides=overrides,
+                              routed=args.routed_probe)
     ctx.checkpoint_dir = args.checkpoint_dir
     if args.kmer_family_distribution_file:
         with open(args.kmer_family_distribution_file, "w") as f:

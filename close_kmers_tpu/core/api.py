@@ -34,9 +34,12 @@ class KmerEngine:
 
     def __init__(self, db: SignatureDB, device=None, mesh=None,
                  device_family: bool = True,
-                 device_family_min: int | None = None):
+                 device_family_min: int | None = None,
+                 routed: bool = False):
         """``mesh``: optional jax Mesh — probe against a range-sharded DB
         over its ("data","table") axes instead of one device.
+        ``routed``: with a mesh, probe through the one-gather-per-window
+        all_to_all exchange instead of the replicated psum merge.
         ``device_family``: allow the fused device calls+family-rollup
         path for family-mode lookups (annotate_family);
         ``device_family_min``: minimum mapping size (distinct kmers) to
@@ -46,7 +49,7 @@ class KmerEngine:
         self.db = db
         if mesh is not None:
             from ..parallel.sharding import ShardedEngine
-            self.fa = ShardedEngine(db, mesh)
+            self.fa = ShardedEngine(db, mesh, routed=routed)
         else:
             self.fa = FastAnnotator(db, device=device)
         self.function_of = db.function_of

@@ -449,21 +449,27 @@ def _routed_probe_core(bp, lo_t, payload, hi_base, pw, shh, sb, bounds,
     iota = jax.lax.iota(i32, Nw)
     s_owner, s_hi, s_lo, s_pos = jax.lax.sort(
         (owner, hif, lof, iota), num_keys=1, is_stable=True)
-    start = jnp.searchsorted(s_owner, jnp.arange(S, dtype=i32),
+    start = jnp.searchsorted(s_owner, jnp.arange(S + 1, dtype=i32),
                              side="left").astype(i32)
     rank = iota - start[jnp.minimum(s_owner, S - 1)]
     fits = (s_owner < S) & (rank < cap)
-    slot = jnp.where(fits, s_owner * cap + rank, S * cap)
-    # ONE 2-wide row scatter builds the send buffer (slots are strictly
-    # increasing where they fit).  An invalid slot's lo never matters:
-    # recv validity is hi >= 0 and the probe re-masks lo itself, so a
-    # single -1 fill serves both planes.  (XLA TPU scatters cost ~6x a
-    # gather — routed_exp decomposition — so the RESULT side below uses
-    # argsort+gather instead of the 105 ms/2.49M inverse scatter.)
-    send = jnp.full((S * cap, 2), -1, i32).at[slot].set(
-        jnp.stack([s_hi, s_lo], axis=-1), mode="drop")
-    recv = jax.lax.all_to_all(send.reshape(S, cap, 2), "table", 0, 0,
-                              tiled=True)
+    # The sorted stream is CONTIGUOUS per destination, so the dense
+    # [S, cap] exchange buffers are S static-count memcpys (dynamic
+    # slices), not scatters/gathers: routed_exp --decomp measured the
+    # scatter at 43 ms and the slot-indexed gather at 75 ms per 2.49M
+    # windows on v5e, while contiguous copies are HBM-stream-rate.
+    # Rows past a destination's count carry the NEXT destination's
+    # windows — masked to invalid (-1 hi; the probe re-masks lo itself).
+    sorted2 = jnp.stack([s_hi, s_lo], axis=-1)
+    sorted2 = jnp.concatenate(
+        [sorted2, jnp.full((cap, 2), -1, i32)])       # clamp-free slack
+    r_col = jax.lax.broadcasted_iota(i32, (cap, 1), 0)
+    send = jnp.stack([
+        jnp.where(r_col < (start[s + 1] - start[s]),
+                  jax.lax.dynamic_slice(sorted2, (start[s], 0), (cap, 2)),
+                  -1)
+        for s in range(S)])                            # [S, cap, 2]
+    recv = jax.lax.all_to_all(send, "table", 0, 0, tiled=True)
 
     def probe_planes(p_hi, p_lo):
         """Probe flat windows locally; return planes + local row idx.
@@ -488,8 +494,7 @@ def _routed_probe_core(bp, lo_t, payload, hi_base, pw, shh, sb, bounds,
     P_ = len(planes)
     back = jnp.stack([p.reshape(-1) for p in planes], axis=-1) \
         .reshape(S, cap, P_)
-    ret = jax.lax.all_to_all(back, "table", 0, 0, tiled=True) \
-        .reshape(S * cap, P_)
+    ret = jax.lax.all_to_all(back, "table", 0, 0, tiled=True)
 
     def row_gather(tab, idx):
         # keep the flat index count off the power-of-two-rich gather
@@ -502,9 +507,15 @@ def _routed_probe_core(bp, lo_t, payload, hi_base, pw, shh, sb, bounds,
                 [idx, jnp.zeros(npad - n, idx.dtype)])
         return tab[idx][:n]
 
-    res_sorted = jnp.where(fits[:, None],
-                           row_gather(ret, jnp.minimum(slot, S * cap - 1)),
-                           0)
+    # Results land back in sorted order with the mirrored contiguous
+    # copies: segment s's rows go to [start[s], start[s]+cap); a
+    # shorter segment's pad rows overlap the next segment and are
+    # overwritten by it (updates applied in ascending s).  Overflow
+    # positions (rank >= cap) are touched by no update and keep 0.
+    buf = jnp.zeros((Nw + cap, P_), i32)
+    for s in range(S):
+        buf = jax.lax.dynamic_update_slice(buf, ret[s], (start[s], 0))
+    res_sorted = buf[:Nw]
 
     # --- exact fallback for windows beyond the per-pair capacity:
     # compact them, all_gather across the table axis, probe everywhere,
@@ -737,11 +748,18 @@ def serve_step_sharded(sdb: ShardedDB, offsets, lengths,
 
 class ShardedEngine:
     """Drop-in engine over a sharded DB: same compact-hit interface as
-    FastAnnotator.probe_compact, batch sharded over "data"."""
+    FastAnnotator.probe_compact, batch sharded over "data".
 
-    def __init__(self, db: SignatureDB, mesh: Mesh | None = None):
+    ``routed=True`` probes through the one-gather-per-window exchange
+    path (:func:`probe_routed`) instead of the replicated psum merge —
+    the pod-scale configuration; falls back to the provably drop-free
+    capacity automatically if the default capacity drops windows."""
+
+    def __init__(self, db: SignatureDB, mesh: Mesh | None = None,
+                 routed: bool = False):
         self.mesh = mesh or make_mesh()
         self.db = db
+        self.routed = routed
         self.sdb = ShardedDB.from_db(db, self.mesh)
 
     def pad_to_data_axis(self, B: int) -> int:
@@ -780,7 +798,25 @@ class ShardedEngine:
             offsets = np.concatenate(
                 [offsets, np.full((Bp - B, offsets.shape[1]), 20, np.uint8)])
             lengths = np.concatenate([lengths, np.zeros(Bp - B, np.int32)])
-        found, fi, oi, av, wt, hi, lo = probe_sharded(self.sdb, offsets, lengths)
+        if self.routed:
+            nd = self.mesh.shape["data"] * self.mesh.shape["table"]
+            Bq = -(-Bp // nd) * nd
+            if Bq != Bp:
+                offsets = np.concatenate(
+                    [offsets,
+                     np.full((Bq - Bp, offsets.shape[1]), 20, np.uint8)])
+                lengths = np.concatenate(
+                    [lengths, np.zeros(Bq - Bp, np.int32)])
+            out = probe_routed(self.sdb, offsets, lengths)
+            if int(np.asarray(out[8]).sum()):
+                # skewed query hi distribution exceeded both routing
+                # capacities: re-dispatch with the drop-free capacity
+                out = probe_routed(self.sdb, offsets, lengths,
+                                   capacity_factor=None)
+            found, fi, oi, av, wt, hi, lo = out[:7]
+        else:
+            found, fi, oi, av, wt, hi, lo = probe_sharded(
+                self.sdb, offsets, lengths)
         found = np.asarray(found)[:B] > 0
         rows, cols = np.nonzero(found)
         row_off = np.zeros(B + 1, dtype=np.int64)

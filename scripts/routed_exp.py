@@ -97,8 +97,9 @@ def probe_stage(meta):
 
 def route_stage(S, cap):
     """The routing compute exactly as _routed_probe_core performs it
-    (send = one 2-wide row scatter; result side = cliff-padded gathers +
-    argsort-inverse), with an identity exchange."""
+    (send/recv buffers = S contiguous memcpys of the sorted stream;
+    unsort = argsort inverse + cliff-padded row gather), with an
+    identity exchange."""
     def fn(c, hif, lof, vf, bounds):
         i32 = jnp.int32
         from close_kmers_tpu.core.engine import _probe_count_pad
@@ -108,13 +109,23 @@ def route_stage(S, cap):
         iota = jax.lax.iota(i32, Nw)
         s_owner, s_hi, s_lo, s_pos = jax.lax.sort(
             (owner, hif, lof, iota), num_keys=1, is_stable=True)
-        start = jnp.searchsorted(s_owner, jnp.arange(S, dtype=i32),
+        start = jnp.searchsorted(s_owner, jnp.arange(S + 1, dtype=i32),
                                  side="left").astype(i32)
-        rank = iota - start[jnp.minimum(s_owner, S - 1)]
-        fits = (s_owner < S) & (rank < cap)
-        slot = jnp.where(fits, s_owner * cap + rank, S * cap)
-        send = jnp.full((S * cap, 2), -1, i32).at[slot].set(
-            jnp.stack([s_hi, s_lo], axis=-1), mode="drop")
+        sorted2 = jnp.concatenate(
+            [jnp.stack([s_hi, s_lo], axis=-1),
+             jnp.full((cap, 2), -1, i32)])
+        r_col = jax.lax.broadcasted_iota(i32, (cap, 1), 0)
+        send = jnp.stack([
+            jnp.where(r_col < (start[s + 1] - start[s]),
+                      jax.lax.dynamic_slice(sorted2, (start[s], 0),
+                                            (cap, 2)),
+                      -1)
+            for s in range(S)])
+        ret = jnp.concatenate([send, send], axis=-1)  # 4 result planes
+        buf = jnp.zeros((Nw + cap, 4), i32)
+        for s in range(S):
+            buf = jax.lax.dynamic_update_slice(buf, ret[s], (start[s], 0))
+        res_sorted = buf[:Nw]
 
         def row_gather(tab, idx):
             n = idx.shape[0]
@@ -123,13 +134,9 @@ def route_stage(S, cap):
                 idx = jnp.concatenate([idx, jnp.zeros(npad - n, idx.dtype)])
             return tab[idx][:n]
 
-        ret = jnp.concatenate([send, send], axis=-1)  # 4 result planes
-        res_sorted = jnp.where(
-            fits[:, None], row_gather(ret, jnp.minimum(slot, S * cap - 1)),
-            0)
         inv = jnp.argsort(s_pos)
         out = row_gather(res_sorted, inv)
-        return c + (out[:, 0].sum() + send[:, 1].sum()) \
+        return c + (out[:, 0].sum() + send[0, :, 1].sum()) \
             .astype(jnp.float32) * 1e-9
     return fn
 
@@ -203,11 +210,93 @@ def route_decomp_stages(S, cap):
         out = vals[inv]
         return c + out[:, 0].sum().astype(jnp.float32) * 1e-9
 
+    def _route_prefix(hif, lof, vf, bounds):
+        owner, iota = base(hif, lof, vf, bounds)
+        so, sh, sl, sp = jax.lax.sort((owner, hif, lof, iota), num_keys=1,
+                                      is_stable=True)
+        start = jnp.searchsorted(so, jnp.arange(S, dtype=i32),
+                                 side="left").astype(i32)
+        rank = iota - start[jnp.minimum(so, S - 1)]
+        fits = (so < S) & (rank < cap)
+        slot = jnp.where(fits, so * cap + rank, S * cap)
+        send = jnp.full((S * cap, 2), -1, i32).at[slot].set(
+            jnp.stack([sh, sl], axis=-1), mode="drop")
+        return send, slot, fits, sp
+
+    def _rg(tab, idx):
+        from close_kmers_tpu.core.engine import _probe_count_pad
+        n = idx.shape[0]
+        npad = _probe_count_pad(n)
+        if npad != n:
+            idx = jnp.concatenate([idx, jnp.zeros(npad - n, idx.dtype)])
+        return tab[idx][:n]
+
+    def s_to_slotgather(c, hif, lof, vf, bounds):
+        send, slot, fits, sp = _route_prefix(hif, lof, vf, bounds)
+        ret = jnp.concatenate([send, send], axis=-1)
+        res = jnp.where(fits[:, None],
+                        _rg(ret, jnp.minimum(slot, S * cap - 1)), 0)
+        return c + res[:, 0].sum().astype(jnp.float32) * 1e-9
+
+    def s_to_argsort(c, hif, lof, vf, bounds):
+        send, slot, fits, sp = _route_prefix(hif, lof, vf, bounds)
+        ret = jnp.concatenate([send, send], axis=-1)
+        res = jnp.where(fits[:, None],
+                        _rg(ret, jnp.minimum(slot, S * cap - 1)), 0)
+        inv = jnp.argsort(sp)
+        return c + (res[:, 0].sum() + inv.sum()).astype(jnp.float32) * 1e-9
+
+    def s_route_full(c, hif, lof, vf, bounds):
+        send, slot, fits, sp = _route_prefix(hif, lof, vf, bounds)
+        ret = jnp.concatenate([send, send], axis=-1)
+        res = jnp.where(fits[:, None],
+                        _rg(ret, jnp.minimum(slot, S * cap - 1)), 0)
+        inv = jnp.argsort(sp)
+        out = _rg(res, inv)
+        return c + out[:, 0].sum().astype(jnp.float32) * 1e-9
+
+    def s_slotgather_w8(c, hif, lof, vf, bounds):
+        send, slot, fits, sp = _route_prefix(hif, lof, vf, bounds)
+        ret = jnp.concatenate([send, send, send, send], axis=-1)  # w=8
+        res = jnp.where(fits[:, None],
+                        _rg(ret, jnp.minimum(slot, S * cap - 1)), 0)
+        return c + res[:, 0].sum().astype(jnp.float32) * 1e-9
+
+    def s_slotgather_barrier(c, hif, lof, vf, bounds):
+        send, slot, fits, sp = _route_prefix(hif, lof, vf, bounds)
+        ret = jax.lax.optimization_barrier(
+            jnp.concatenate([send, send], axis=-1))
+        res = jnp.where(fits[:, None],
+                        _rg(ret, jnp.minimum(slot, S * cap - 1)), 0)
+        return c + res[:, 0].sum().astype(jnp.float32) * 1e-9
+
+    def s_slotgather_w8_barrier(c, hif, lof, vf, bounds):
+        send, slot, fits, sp = _route_prefix(hif, lof, vf, bounds)
+        ret = jax.lax.optimization_barrier(
+            jnp.concatenate([send, send, send, send], axis=-1))
+        res = jnp.where(fits[:, None],
+                        _rg(ret, jnp.minimum(slot, S * cap - 1)), 0)
+        return c + res[:, 0].sum().astype(jnp.float32) * 1e-9
+
+    def s_sendbarrier_only(c, hif, lof, vf, bounds):
+        send, slot, fits, sp = _route_prefix(hif, lof, vf, bounds)
+        send = jax.lax.optimization_barrier(send)
+        res = jnp.where(fits[:, None],
+                        _rg(send, jnp.minimum(slot, S * cap - 1)), 0)
+        return c + res[:, 0].sum().astype(jnp.float32) * 1e-9
+
     return [("owner", s_owner_only), ("sort", s_sort),
             ("send/scatter", s_send_scatter),
             ("send/gather", s_send_gather),
             ("unsort/scatter", s_unsort_scatter),
-            ("unsort/gather", s_unsort_gather)]
+            ("unsort/gather", s_unsort_gather),
+            ("prefix+slotgather", s_to_slotgather),
+            ("slotgather/w8", s_slotgather_w8),
+            ("slotgather/barrier", s_slotgather_barrier),
+            ("slotgather/w8+barrier", s_slotgather_w8_barrier),
+            ("slotgather/send-barrier-w2", s_sendbarrier_only),
+            ("prefix+slotgather+argsort", s_to_argsort),
+            ("route_full", s_route_full)]
 
 
 def main() -> int:
