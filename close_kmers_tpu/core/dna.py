@@ -53,7 +53,8 @@ def annotate_dna_batch(engine, items, params: EngineParams | None = None,
         offsets, lengths,
         want_code=want_hits,                      # HIT lines only
         want_oi=want_hits or want_otu,            # OTU voting only
-        want_avg=want_hits or bool(params.order_constraint))
+        want_avg=want_hits or bool(params.order_constraint),
+        rows_only=True)                           # 2-plane hit download
     n_calls, cs, ce, cc, cf, cw, votes = native.score_batch(
         h["pos"], h["fi"], h["oi"], h["avg_off"], h["wt"], h["row_off"],
         params, max_calls_per_seq=max(64, offsets.shape[1] // 4),
@@ -88,7 +89,7 @@ def annotate_dna_batch(engine, items, params: EngineParams | None = None,
 
 def probe_long_sequence(engine, seq: str, tile: int = 8192,
                         want_code: bool = True, want_oi: bool = True,
-                        want_avg: bool = True):
+                        want_avg: bool = True, rows_only: bool = True):
     """Tile a long protein sequence into overlapping [tile] chunks (halo
     K-1) and probe them as a batch; returns the merged position-ordered
     hit arrays, identical to an untiled probe.
@@ -97,7 +98,9 @@ def probe_long_sequence(engine, seq: str, tile: int = 8192,
     step = tile - (K-1); the engine's scan-bound exclusion (p < len-K) is
     preserved globally by clipping to the true sequence length.
     ``want_code=False`` skips the kmer-code download (genome workloads
-    are download-bound; scoring needs no codes).
+    are download-bound; scoring needs no codes).  ``rows_only`` (default)
+    downloads only (pos, DB-row) per hit — 2 planes — and rebuilds the
+    payload host-side (engine.FastAnnotator.probe_compact rows_only).
     """
     pI = seq if isinstance(seq, np.ndarray) else seq_to_offsets(seq)
     n = len(pI)
@@ -108,7 +111,8 @@ def probe_long_sequence(engine, seq: str, tile: int = 8192,
     if n <= tile:
         return engine.fa.probe_compact(*engine.fa.pad_batch([seq]),
                                        want_code=want_code,
-                                       want_oi=want_oi, want_avg=want_avg)
+                                       want_oi=want_oi, want_avg=want_avg,
+                                       rows_only=rows_only)
 
     starts = list(range(0, n, step))
     rows = np.full((len(starts), tile + 1), 20, dtype=np.uint8)
@@ -123,7 +127,8 @@ def probe_long_sequence(engine, seq: str, tile: int = 8192,
     # positions [0, step) locally; the last tile contributes up to its
     # own scan bound.
     h = engine.fa.probe_compact(rows, lens, want_code=want_code,
-                                want_oi=want_oi, want_avg=want_avg)
+                                want_oi=want_oi, want_avg=want_avg,
+                                rows_only=rows_only)
     pos = h["pos"]
     row = np.repeat(np.arange(len(starts)), np.diff(h["row_off"]))
     abs_pos = pos.astype(np.int64) + np.asarray(starts, dtype=np.int64)[row]

@@ -759,12 +759,18 @@ class FastAnnotator:
 
     def probe_compact(self, offsets: np.ndarray, lengths: np.ndarray,
                       hits_per_seq_cap: int = 64, want_code: bool = True,
-                      want_oi: bool = True, want_avg: bool = True):
+                      want_oi: bool = True, want_avg: bool = True,
+                      rows_only: bool = False):
         """Device probe + on-device hit compaction.  Returns a dict of
         concatenated per-sequence hit arrays (pos, fi, oi, avg_off, wt,
         code) plus row_off delimiters.  Downloads only the packed hits
         (cap overflow retries with 4x the cap, rounded to a power of two
         to bound recompiles).
+
+        ``rows_only=True`` downloads only (pos, DB-row) and rebuilds
+        every plane (fi, oi, avg_off, wt, code) from the host-side DB
+        arrays — the minimal wire format for hit-heavy workloads; the
+        want_* flags then only pick which keys materialize.
 
         The ``want_*`` flags drop planes from the download — the
         dominant cost of hit-heavy genome workloads through a slow host
@@ -777,7 +783,8 @@ class FastAnnotator:
         d = self.ddb
         B = offsets.shape[0]
         W = offsets.shape[1] - K
-        n_planes = 3 + want_oi + want_avg + 2 * want_code
+        n_planes = 2 if rows_only \
+            else 3 + want_oi + want_avg + 2 * want_code
         max_cap = B * W
         cap = min(max_cap, 1 << (B * hits_per_seq_cap - 1).bit_length())
         while True:
@@ -786,7 +793,7 @@ class FastAnnotator:
                 jnp.asarray(offsets), jnp.asarray(lengths), cap, d.lo_wide,
                 d.payload_wide, d.wide_w, want_code, want_oi, want_avg,
                 d.sub_header, d.sub_blocks, d.sub_w,
-            d.fused_wide, d.fused_w))
+            d.fused_wide, d.fused_w, rows_only))
             n_hits = out[:B]
             total = int(n_hits.sum())
             if total <= cap or cap >= max_cap:
@@ -796,6 +803,15 @@ class FastAnnotator:
         row_off = np.zeros(B + 1, dtype=np.int64)
         np.cumsum(n_hits, out=row_off[1:])
         t = slice(0, total)
+        if rows_only:
+            db = self.db
+            rows = np.minimum(pack[1, t], max(len(db) - 1, 0))
+            h = dict(pos=pack[0, t], row_off=row_off,
+                     fi=db.fi[rows], oi=db.oi[rows],
+                     avg_off=db.avg_off[rows], wt=db.wt[rows])
+            if want_code:
+                h["code"] = db.keys[rows]
+            return h
         zeros = np.zeros(total, dtype=np.int32)
         h = dict(pos=pack[0, t], fi=pack[1, t], row_off=row_off)
         p = 2
@@ -873,13 +889,13 @@ def finish_best_call(n_funcs: int, fi3, cnt3, wt3, function_of) -> O.BestCall:
 @functools.partial(jax.jit,
                    static_argnames=("hit_cap", "wide_w", "want_code",
                                     "want_oi", "want_avg", "sub_w",
-                                    "fused_w"))
+                                    "fused_w", "rows_only"))
 def _probe_compact_jit(bucket_pair, lo_arr, payload, n, n_steps,
                        offsets, lengths, hit_cap, lo_wide=None,
                        payload_wide=None, wide_w=0, want_code=True,
                        want_oi=True, want_avg=True,
                        sub_header=None, sub_blocks=None, sub_w=0,
-                    fused_wide=None, fused_w=0):
+                    fused_wide=None, fused_w=0, rows_only=False):
     """Fused probe + on-device hit compaction: hits left-pack into an
     [n_planes, hit_cap] buffer (pos, fi, [oi], [avg_off], wt-bits,
     [hi, lo]) in row-major (= per-sequence, position-ordered) order,
@@ -891,12 +907,19 @@ def _probe_compact_jit(bucket_pair, lo_arr, payload, n, n_steps,
                    payload_wide, wide_w, sub_header, sub_blocks, sub_w,
                    fused_wide, fused_w)
     hi, lo, valid = encode_windows(offsets, lengths)
-    found, fi, oi, avg_off, wt, _ = probe_windows(ddb, hi, lo, valid)
+    found, fi, oi, avg_off, wt, idx = probe_windows(ddb, hi, lo, valid)
     B, W = found.shape
     n_hits = found.sum(axis=1, dtype=jnp.int32)
     flat = found.reshape(-1)
     order = jnp.argsort(~flat, stable=True)[:hit_cap]
     pos = (order % W).astype(jnp.int32)
+    if rows_only:
+        # 2-plane pack: (window pos, matched DB row) — the host owns the
+        # DB arrays, so every payload plane (and the kmer code itself)
+        # reconstructs with cheap host gathers; the genome regime's
+        # download drops from 3+ planes to 2 with MORE information
+        planes = [pos, idx.reshape(-1)[order]]
+        return jnp.concatenate([n_hits, jnp.stack(planes).reshape(-1)])
     planes = [pos, fi.reshape(-1)[order]]
     if want_oi:
         planes.append(oi.reshape(-1)[order])

@@ -21,7 +21,18 @@ state*:
   ready for data-parallel host scoring or on-device reductions;
 * the kmer→family table (device_family.DeviceFamilyDB) shards by the
   same row ranges, so the family rollup merges with one more psum and
-  then runs the single-chip row-sort + grouping-scan unchanged.
+  then runs the single-chip row-sort + grouping-scan unchanged;
+* the ROUTED mode (probe_routed / serve_step_sharded) replaces the
+  replicated probe: the batch shards over BOTH axes, each device
+  owner-sorts its windows and ships them to their owning shard with one
+  all_to_all per direction — one gather per window POD-WIDE instead of
+  one per (window, shard).  Exchange buffers are built as contiguous
+  memcpys of the owner-sorted stream (v5e scatters measured 6-20x a
+  gather; see scripts/routed_exp.py --decomp) under a static per-pair
+  capacity, with an exact all_gather+psum fallback for overflow and
+  drop counting beyond that.  jax.lax.ragged_all_to_all would remove
+  the capacity padding entirely but has no XLA:CPU lowering yet, which
+  this repo's virtual-mesh/cross-process validation requires.
 """
 
 from __future__ import annotations
@@ -787,7 +798,8 @@ class ShardedEngine:
 
     def probe_compact(self, offsets: np.ndarray, lengths: np.ndarray,
                       hits_per_seq_cap: int = 64, want_code: bool = True,
-                      want_oi: bool = True, want_avg: bool = True):
+                      want_oi: bool = True, want_avg: bool = True,
+                      rows_only: bool = False):
         """Same contract as FastAnnotator.probe_compact.  The plane flags
         exist for interface parity — the sharded step downloads full
         grids regardless (its wire is ICI/PCIe, not the dev relay), so

@@ -291,3 +291,19 @@ def test_sub_bucket_probe_matches_binary_search():
     assert outs[0][0].any()
     for k in range(5):
         assert np.array_equal(outs[0][k], outs[1][k]), k
+
+
+def test_probe_compact_rows_only_matches_planes():
+    """rows_only=True (2-plane download + host payload reconstruction)
+    must reproduce every plane of the standard compact probe."""
+    from close_kmers_tpu.core.engine import FastAnnotator
+    rng = np.random.default_rng(5)
+    db = random_db(rng)
+    seqs = random_seqs(rng, db, n=12)
+    fa = FastAnnotator(db)
+    offsets, lengths = fa.pad_batch(seqs)
+    want = fa.probe_compact(offsets, lengths)
+    got = fa.probe_compact(offsets, lengths, rows_only=True)
+    for k in ("pos", "fi", "oi", "avg_off", "code", "row_off"):
+        assert np.array_equal(got[k], want[k]), k
+    assert np.array_equal(np.float32(got["wt"]), np.float32(want["wt"]))
