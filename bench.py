@@ -295,9 +295,10 @@ def bench_fastq(eng, mapping, offsets):
         t0 = time.time()
         ofs, lens, toks = batch_orf_arrays([seq for _, seq in reads])
         matches = eng.best_family_matches_padded(
-            ofs, lens, mapping, kmer_hit_threshold=3, genus_filter=False)
-        scores = np.array([m.score if m.gfam_score > 0 else 0.0
-                           for m in matches], dtype=np.float64)
+            ofs, lens, mapping, kmer_hit_threshold=3, genus_filter=False,
+            as_arrays=True)
+        scores = np.where(matches.gfam_score > 0, matches.score,
+                          0.0).astype(np.float64)
         tok_score = np.where(toks["orf"] >= 0, scores[toks["orf"]], 0.0)
         totals = np.zeros((n_reads, 6), dtype=np.float64)
         np.add.at(totals, (toks["read"], toks["fpos"].astype(np.int64)),

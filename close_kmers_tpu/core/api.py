@@ -287,7 +287,8 @@ class KmerEngine:
                                    kmer_hit_threshold: int = 3,
                                    allow_ambiguous: bool = False,
                                    target_genus_id: int = 0,
-                                   genus_filter: bool = True):
+                                   genus_filter: bool = True,
+                                   as_arrays: bool = False):
         """Array-native best_family_matches: callers with a pre-padded
         [B, L] offsets grid (e.g. the /fq_lookup ORF batcher,
         ops.translate.batch_orf_arrays) skip the per-sequence pad_batch
@@ -305,10 +306,14 @@ class KmerEngine:
                      for i in range(offsets.shape[0])]
             results, seq_scores = self.annotate_family(items, mapping,
                                                        params, want_best=True)
-            return [find_best_family_match(
+            ms = [find_best_family_match(
                 r.best, seq_scores[i], mapping, kmer_hit_threshold,
                 allow_ambiguous, target_genus_id, genus_filter)
                 for i, r in enumerate(results)]
+            if as_arrays:
+                from .family import BestMatchColumns
+                return BestMatchColumns.from_objects(ms)
+            return ms
 
         # Fixed-size chunks (pad the tail with empty sequences): serving
         # batches vary per request and every distinct B is a fresh
@@ -433,7 +438,7 @@ class KmerEngine:
         return find_best_family_matches_batch(
             reduction, n_per, fam, counts, weights, first, mapping,
             kmer_hit_threshold, allow_ambiguous, target_genus_id,
-            genus_filter)
+            genus_filter, as_arrays=as_arrays)
 
     FAMILY_MATCH_CHUNK = 16384
     FAMILY_MATCH_GROUP = 2   # chunks per grouped D2H (see process_group)

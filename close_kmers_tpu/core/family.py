@@ -85,6 +85,63 @@ class BestMatch:
     weighted_score: float = 0.0
 
 
+@dataclasses.dataclass
+class BestMatchColumns:
+    """Array-form batch best-match result (find_best_family_matches_batch
+    as_arrays=True): numeric columns for vectorized consumers (the
+    /fq_lookup frame reduction reads only score/gfam_score), with
+    per-row BestMatch materialization on demand — building 100k+
+    BestMatch objects and their string columns was ~0.4 s/pass of the
+    FASTQ path (cProfile), all of it skippable until a row is printed.
+    """
+    gfam_score: np.ndarray     # f32 [S]; 0 = no global family
+    lfam_score: np.ndarray     # f32 [S]
+    score: np.ndarray          # f32 [S]
+    weighted_score: np.ndarray  # f32 [S]
+    _gpgf_idx: np.ndarray      # i64 [S] into _pgf_names (where valid)
+    _gvalid: np.ndarray
+    _lfam_idx: np.ndarray      # i64 [S] into _plf_names (where valid)
+    _lvalid: np.ndarray
+    _fn_col: list              # str [S]
+    _pgf_names: list
+    _plf_names: list
+    _patched: dict | None = None   # scalar-path rows (row -> BestMatch)
+
+    def __len__(self):
+        return len(self.score)
+
+    def materialize(self, i: int) -> BestMatch:
+        if self._patched and i in self._patched:
+            return self._patched[i]
+        return BestMatch(
+            self._pgf_names[int(self._gpgf_idx[i])]
+            if self._gvalid[i] else "",
+            float(self.gfam_score[i]),
+            self._plf_names[int(self._lfam_idx[i])]
+            if self._lvalid[i] else "",
+            float(self.lfam_score[i]),
+            self._fn_col[i], float(self.score[i]),
+            float(self.weighted_score[i]))
+
+    def __iter__(self):
+        return (self.materialize(i) for i in range(len(self)))
+
+    @classmethod
+    def from_objects(cls, ms: list) -> "BestMatchColumns":
+        """Wrap an existing BestMatch list (fallback paths) so callers
+        asking for arrays always get the same interface."""
+        S = len(ms)
+        cols = cls(
+            np.array([m.gfam_score for m in ms], np.float32),
+            np.array([m.lfam_score for m in ms], np.float32),
+            np.array([m.score for m in ms], np.float32),
+            np.array([m.weighted_score for m in ms], np.float32),
+            np.zeros(S, np.int64), np.zeros(S, bool),
+            np.zeros(S, np.int64), np.zeros(S, bool),
+            [""] * S, [], [], _patched=dict(enumerate(ms)))
+        return cols
+
+
 def resolve_best_call_function(best: O.BestCall, allow_ambiguous: bool):
     """Ambiguity handling shared by /lookup and FamilyMapper
     (lookup_request.cc:226-247): empty -> "hypothetical protein";
@@ -214,6 +271,7 @@ def find_best_family_matches_batch(
     allow_ambiguous: bool = False,
     target_genus_id: int = 0,
     genus_filter: bool = True,
+    as_arrays: bool = False,
 ) -> list[BestMatch]:
     """Vectorized find_best_family_match over a whole batch, consuming
     the device rollup arrays directly (no per-sequence dicts).
@@ -357,12 +415,25 @@ def find_best_family_matches_batch(
     lk = np.where(lvalid, lfirst, 0)
     lfam_idx = fam_o[lk] if N else np.zeros(S, np.int64)
     lscore_col = np.where(lvalid, wt_o[lk] if N else 0.0, np.float32(0.0))
-    plf_col = [plf_names[i] if v else ""
-               for i, v in zip(lfam_idx.tolist(), lvalid.tolist())]
     gvalid = (gfirst < G) & (gmax > np.float32(0.0))
     gk = np.where(gvalid, gfirst, 0)
     gpgf_idx = gp[gk] if G else np.zeros(S, np.int64)
     gscore_col = np.where(gvalid, gmax, np.float32(0.0))
+    if as_arrays:
+        cols = BestMatchColumns(
+            gscore_col.astype(np.float32), lscore_col.astype(np.float32),
+            scoreA.astype(np.float32), weightedA.astype(np.float32),
+            gpgf_idx, gvalid, lfam_idx, lvalid, fn_col,
+            pgf_names, plf_names)
+        if scalar_rows:
+            patched = _patch_scalar_rows(
+                {}, scalar_rows, n_per, fam, cnt, wt, first, S, N,
+                scalar_best, mapping, kmer_hit_threshold,
+                allow_ambiguous, target_genus_id, genus_filter)
+            cols._patched = patched
+        return cols
+    plf_col = [plf_names[i] if v else ""
+               for i, v in zip(lfam_idx.tolist(), lvalid.tolist())]
     pgf_col = [pgf_names[i] if v else ""
                for i, v in zip(gpgf_idx.tolist(), gvalid.tolist())]
     out: list[BestMatch] = list(map(
@@ -372,24 +443,39 @@ def find_best_family_matches_batch(
         weightedA.astype(np.float64).tolist()))
 
     if scalar_rows:
-        row_off = np.zeros(S + 1, dtype=np.int64)
-        np.cumsum(n_per, out=row_off[1:])
-        fam_n = np.asarray(fam)[:N]
-        cnt_n = np.asarray(cnt)[:N]
-        wt_n = np.asarray(wt)[:N]
-        first_n = np.asarray(first)[:N]
-        for s in scalar_rows:
-            a, bnd = int(row_off[s]), int(row_off[s + 1])
-            sub = np.argsort(first_n[a:bnd], kind="stable")
-            seq_score = {
-                int(fam_n[a + i]): SeqScore(int(cnt_n[a + i]),
-                                            int(cnt_n[a + i]),
-                                            np.float32(wt_n[a + i]))
-                for i in sub}
-            out[s] = find_best_family_match(
-                scalar_best(s), seq_score, mapping, kmer_hit_threshold,
-                allow_ambiguous, target_genus_id, genus_filter)
+        patched = _patch_scalar_rows(
+            {}, scalar_rows, n_per, fam, cnt, wt, first, S, N,
+            scalar_best, mapping, kmer_hit_threshold, allow_ambiguous,
+            target_genus_id, genus_filter)
+        for s_i, m_i in patched.items():
+            out[s_i] = m_i
     return out
+
+
+def _patch_scalar_rows(patched, scalar_rows, n_per, fam, cnt, wt, first,
+                       S, N, scalar_best, mapping, kmer_hit_threshold,
+                       allow_ambiguous, target_genus_id, genus_filter):
+    """Exact scalar re-resolution for ambiguous rows (rare): rebuild the
+    per-row seq_score dict in first-hit order and run the stateful
+    find_best_family_match."""
+    row_off = np.zeros(S + 1, dtype=np.int64)
+    np.cumsum(n_per, out=row_off[1:])
+    fam_n = np.asarray(fam)[:N]
+    cnt_n = np.asarray(cnt)[:N]
+    wt_n = np.asarray(wt)[:N]
+    first_n = np.asarray(first)[:N]
+    for s in scalar_rows:
+        a, bnd = int(row_off[s]), int(row_off[s + 1])
+        sub = np.argsort(first_n[a:bnd], kind="stable")
+        seq_score = {
+            int(fam_n[a + i]): SeqScore(int(cnt_n[a + i]),
+                                        int(cnt_n[a + i]),
+                                        np.float32(wt_n[a + i]))
+            for i in sub}
+        patched[s] = find_best_family_match(
+            scalar_best(s), seq_score, mapping, kmer_hit_threshold,
+            allow_ambiguous, target_genus_id, genus_filter)
+    return patched
 
 
 def format_best_match_lookup(seq_id: str, m: BestMatch) -> str:

@@ -469,8 +469,12 @@ async def _process_reads(ctx, reads, params, req) -> str:
         return ""
     matches = await ctx.best_family_matches_padded(
         offsets, lengths, mapping, params,
-        kmer_hit_threshold=kmer_hit_threshold, genus_filter=False)
-    scores = np.array([m.score for m in matches], dtype=np.float64)
+        kmer_hit_threshold=kmer_hit_threshold, genus_filter=False,
+        as_arrays=True)
+    # array-form result: only the winning frames' tokens materialize
+    # BestMatch objects/strings below (a ~0.4 s/pass saving at 100k+
+    # ORFs; family.BestMatchColumns)
+    scores = matches.score.astype(np.float64)
 
     # Best-frame selection with the running-score copy quirk
     # (fq_process_request.cc:318-348): running score within a frame is
@@ -511,8 +515,9 @@ async def _process_reads(ctx, reads, params, req) -> str:
         parts = [f"{rid}\t{_FRAME_OF_FPOS[win_fpos[rj]]}\t"
                  f"{'%g' % best_score[rj]}"]
         for t in k[bounds[rj]:bounds[rj + 1]]:
-            parts.append(f"{s_len[t]}\t"
-                         f"{F.format_best_match_fq(matches[s_orf[t]])}")
+            parts.append(
+                f"{s_len[t]}\t"
+                f"{F.format_best_match_fq(matches.materialize(int(s_orf[t])))}")
         out.append("\t".join(parts) + "\n")
     return "".join(out)
 
