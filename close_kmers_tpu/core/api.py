@@ -329,6 +329,16 @@ class KmerEngine:
         if B0 == 0:
             return []
         CH = self.FAMILY_MATCH_CHUNK
+        # Small-window batches (the /fq_lookup ORF regime: L=64 -> W=57,
+        # ~4x fewer windows per row than protein serving) waste most of
+        # each chunk's fixed dispatch+readback floor; scale the chunk so
+        # every dispatch carries a comparable window count.  CH depends
+        # only on the (static) padded width, so compile counts stay
+        # bounded per workload shape.
+        W = max(1, offsets.shape[1] - 8)
+        if W * CH < 4_000_000:
+            CH = min(65536,
+                     1 << (max(4_000_000 // W, CH) - 1).bit_length())
         B = CH if B0 > CH else max(256, 1 << max(B0 - 1, 0).bit_length())
         lengths = np.asarray(lengths, dtype=np.int32)
         import jax.numpy as jnp
