@@ -403,11 +403,17 @@ def main() -> int:
         k_hi=48, k_lo=16)
 
     mean_shard = float(np.mean(per_shard))
-    routed = t_route + mean_shard
+    # Per-chip accounting: a replicated-table chip probes its data
+    # replica's FULL Nw windows; a routed chip holds 1/S of the batch,
+    # so it routes Nw/S windows (the measured t_route is for all Nw)
+    # and probes its received ~Nw/S share (= the measured shard-local
+    # probe).  The all_to_all wire itself rides ICI and cannot be
+    # measured on this one-chip box.
+    routed = t_route / S + mean_shard
     log("")
     log(f"replicated per-chip probe: {t_full*1e3:8.1f} ms / {Nw:,} windows")
-    log(f"routed     per-chip probe: {routed*1e3:8.1f} ms "
-        f"(route {t_route*1e3:.1f} + shard-local {mean_shard*1e3:.1f}; "
+    log(f"routed     per-chip cost:  {routed*1e3:8.1f} ms "
+        f"(route {t_route*1e3:.1f}/{S} + shard-local {mean_shard*1e3:.1f}; "
         f"shards {', '.join(f'{t*1e3:.1f}' for t in per_shard)})")
     log(f"per-chip speedup at S={S}: {t_full/routed:.2f}x "
         f"(ideal {S}x minus exchange+imbalance; all_to_all wire excluded)")
