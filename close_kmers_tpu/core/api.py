@@ -9,6 +9,8 @@ serves all requests with batched device probes.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..params import EngineParams
@@ -450,8 +452,10 @@ class KmerEngine:
             kmer_hit_threshold, allow_ambiguous, target_genus_id,
             genus_filter, as_arrays=as_arrays)
 
-    FAMILY_MATCH_CHUNK = 16384
-    FAMILY_MATCH_GROUP = 2   # chunks per grouped D2H (see process_group)
+    FAMILY_MATCH_CHUNK = int(os.environ.get(
+        "CLOSE_KMERS_FAMILY_CHUNK", 16384))
+    FAMILY_MATCH_GROUP = int(os.environ.get(
+        "CLOSE_KMERS_FAMILY_GROUP", 2))  # chunks per grouped D2H
 
     def family_scores_batch(self, mapping, h=None) -> tuple:
         """Per-sequence family score accumulation against ``mapping``'s
