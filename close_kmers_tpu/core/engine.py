@@ -131,6 +131,11 @@ class DeviceDB:
     WIDE_BUCKET_MAX = 32  # memory/time tradeoff bound (HI_CARD*W*4 bytes)
     WIDE_PAYLOAD_MAX_BYTES = 2 << 30
     FUSED_MAX_BYTES = 4 << 30
+    # fused rows carry 2W+1 ints: beyond ~128-deep buckets the row tops
+    # 1 KB and the gather goes byte-bound (~0.4 s/2.49M at depth 2219 vs
+    # the depth-insensitive sub tier's ~50 ms) — the auto ladder must
+    # hand deep DBs to sub, not fused (caught by sub_serve_demo.py)
+    FUSED_BUCKET_MAX = 128
     SUB = 16              # sub-buckets per bucket (power of two)
     SUB_BUCKET_MAX = 256  # max entries per sub-bucket (block row width)
     SUB_MAX_BYTES = 4 << 30
@@ -192,6 +197,7 @@ class DeviceDB:
         fi_max = int(db.fi.max()) if n else 0
         if fused is None:
             fused = (fi_max < (1 << (31 - cls.FUSED_LO_BITS))
+                     and 0 < db.max_bucket <= cls.FUSED_BUCKET_MAX
                      and H * _lane_pad(1 + 2 * WIDE) * 4
                      <= cls.FUSED_MAX_BYTES)
         if payload_wide is None and n and fused:
