@@ -70,9 +70,15 @@ def main() -> int:
     h0, h1 = int(h_bounds[s]), int(h_bounds[s + 1])
     a, b = int(row_base[s]), int(row_base[s + 1])
     n_funcs = int(db.fi.max()) + 1
-    sub = SignatureDB(db.keys[a:b] - np.int64(h0) * LO_CARD,
+    # keep the FULL hi span (not the rebased local window): a standalone
+    # serving DB must MISS windows outside the shard's key range, and
+    # the single-chip DeviceDB (unlike the sharded path) has no local
+    # in-range mask — XLA's clamped gather would alias out-of-range hi
+    # onto the last bucket.  Cost: the sub header spans HI_CARD
+    # (~205 MB) instead of the 21k local window.
+    sub = SignatureDB(db.keys[a:b],
                       db.fi[a:b], db.oi[a:b], db.avg_off[a:b],
-                      db.wt[a:b], n_hi=h1 - h0,
+                      db.wt[a:b],
                       functions=[f"fn{i}" for i in range(n_funcs)])
     log(f"shard {s}: {len(sub):,} keys, hi span {h1-h0:,}, "
         f"max bucket {sub.max_bucket}")
@@ -86,10 +92,20 @@ def main() -> int:
     lengths = np.zeros(B, dtype=np.int32)
     keys_local = sub.keys
     t0 = time.time()
-    km_idx = rng.integers(0, len(keys_local), size=(B, 12))
+    # each query chains kmers of ONE function so the run/gap scan forms
+    # real calls and each kmer's families clear the hit threshold (mixed
+    # random-fi kmers make no >=min_hits same-function runs at all)
+    order = np.argsort(sub.fi, kind="stable")
+    fi_sorted = sub.fi[order]
+    fbounds = np.searchsorted(fi_sorted, np.arange(n_funcs + 1))
+    valid_f = np.nonzero(np.diff(fbounds) >= 16)[0]
     ALPHA = "ACDEFGHIKLMNPQRSTVWY"
     for i in range(B):
-        parts = [decode_kmer(int(keys_local[k])) for k in km_idx[i]]
+        f = int(valid_f[rng.integers(len(valid_f))])
+        pick = order[fbounds[f]
+                     + rng.integers(0, fbounds[f + 1] - fbounds[f],
+                                    size=12)]
+        parts = [decode_kmer(int(keys_local[k])) for k in pick]
         s_ = "".join(parts)[:L - 9]
         if i % 4 == 1:
             chs = list(s_)
