@@ -307,3 +307,28 @@ def test_probe_compact_rows_only_matches_planes():
     for k in ("pos", "fi", "oi", "avg_off", "code", "row_off"):
         assert np.array_equal(got[k], want[k]), k
     assert np.array_equal(np.float32(got["wt"]), np.float32(want["wt"]))
+
+
+def test_deep_bucket_db_picks_sub_not_fused():
+    """A PATRIC-density DB (deep buckets) must auto-pick the
+    depth-insensitive sub-bucket tier; the fused packed-row tier's
+    bucket-depth gate (FUSED_BUCKET_MAX) keeps its byte-bound KB rows
+    away from deep DBs (caught live by scripts/sub_serve_demo.py at the
+    971M shard: 17.8 KB fused rows at max bucket 2219)."""
+    from close_kmers_tpu.core.engine import DeviceDB
+    from close_kmers_tpu.db.signature_db import SignatureDB
+    from close_kmers_tpu.params import LO_CARD
+    rng = np.random.default_rng(17)
+    n = 40_000
+    his = rng.integers(5000, 5080, size=n, dtype=np.int64)   # deep
+    keys = np.unique(his * LO_CARD
+                     + rng.integers(0, LO_CARD, size=n, dtype=np.int64))
+    db = SignatureDB(
+        keys, rng.integers(0, 50, size=len(keys)).astype(np.int32),
+        rng.integers(-1, 8, size=len(keys)).astype(np.int32),
+        rng.integers(0, 300, size=len(keys)).astype(np.int32),
+        rng.uniform(0.1, 3.0, size=len(keys)).astype(np.float32))
+    assert db.max_bucket > DeviceDB.FUSED_BUCKET_MAX
+    ddb = DeviceDB.from_db(db)
+    assert ddb.fused_wide is None
+    assert ddb.sub_blocks is not None

@@ -378,3 +378,44 @@ def test_reduction_best_match_parity():
             assert g.lfam_score == w.lfam_score, (trial, s)
             assert g.score == w.score and \
                 g.weighted_score == w.weighted_score, (trial, s)
+
+
+def test_best_match_columns_match_objects():
+    """as_arrays=True must agree with the BestMatch-object path row for
+    row (including materialization)."""
+    import dataclasses
+    from close_kmers_tpu.core.family import (BestCallReduction,
+                                             find_best_family_matches_batch)
+    from close_kmers_tpu.db.family_db import FamilyData, KmerFamilyMapping
+
+    rng = np.random.default_rng(3)
+    S, n_funcs = 400, 50
+    mapping = KmerFamilyMapping()
+    mapping.families = [
+        FamilyData(f"PGF_{f:08d}", f"PLF_{f%5}_{f:08d}", f % 5,
+                   f"fn{f//3}", f, 10, 10) for f in range(3 * n_funcs)]
+    functions = [f"fn{i}" for i in range(n_funcs)]
+    nf = rng.integers(0, 3, size=S).astype(np.int32)
+    ofi = rng.integers(0, n_funcs, size=(S, 3)).astype(np.int32)
+    ocnt = np.sort(rng.integers(0, 40, size=(S, 3)).astype(np.int32))[:, ::-1]
+    owt = np.sort(rng.uniform(0, 20, size=(S, 3)).astype(np.float32))[:, ::-1]
+    bests = BestCallReduction(nf, ofi, np.ascontiguousarray(ocnt),
+                              np.ascontiguousarray(owt), functions)
+    n_per = rng.integers(0, 5, size=S).astype(np.int32)
+    total = int(n_per.sum())
+    fam = rng.integers(0, 3 * n_funcs, size=total).astype(np.int32)
+    cnt = rng.integers(1, 30, size=total).astype(np.int32)
+    wt = rng.uniform(0, 5, size=total).astype(np.float32)
+    first = rng.integers(0, 8000, size=total).astype(np.int32)
+
+    objs = find_best_family_matches_batch(
+        bests, n_per, fam, cnt, wt, first, mapping, genus_filter=False)
+    cols = find_best_family_matches_batch(
+        bests, n_per, fam, cnt, wt, first, mapping, genus_filter=False,
+        as_arrays=True)
+    assert len(cols) == len(objs)
+    assert np.allclose(cols.score, [m.score for m in objs])
+    assert np.allclose(cols.gfam_score, [m.gfam_score for m in objs])
+    for i in range(S):
+        assert dataclasses.astuple(cols.materialize(i)) == \
+            dataclasses.astuple(objs[i]), i
