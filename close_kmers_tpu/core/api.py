@@ -100,7 +100,8 @@ class KmerEngine:
             offsets, lengths,
             want_code=want_hits or want_code,
             want_oi=want_hits or want_otu,
-            want_avg=want_hits or bool(params.order_constraint))
+            want_avg=want_hits or bool(params.order_constraint),
+            rows_only=True)   # 2-plane hit download (planes rebuild host-side)
         if Bp != B0:
             # pad rows contribute no hits; trim the row delimiters
             h["row_off"] = h["row_off"][:B0 + 1]
