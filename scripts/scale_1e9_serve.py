@@ -321,7 +321,10 @@ def tpu_serve(args) -> None:
         f"{t_probe:.0f}s), {n_hits_total:,} hits")
 
     # ---- 4. fused per-batch scoring + family rollup
-    GCAP = 16 * B
+    # the global rollup pack is a FIXED-size D2H buffer: 16*B
+    # over-provisioning shipped 3.1 MB/batch over a 5-9 MB/s wire for
+    # ~4-6 true groups/protein; 8*B halves it with ample margin
+    GCAP = 8 * B
 
     @jax.jit
     def score_final(fib, wtb, lob):
