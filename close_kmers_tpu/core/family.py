@@ -127,6 +127,26 @@ class BestMatchColumns:
         return (self.materialize(i) for i in range(len(self)))
 
     @classmethod
+    def concat(cls, parts: list) -> "BestMatchColumns":
+        """Concatenate per-chunk column results (row order preserved)."""
+        if len(parts) == 1:
+            return parts[0]
+        patched = {}
+        off = 0
+        fn_col = []
+        for p in parts:
+            if p._patched:
+                patched.update({off + k: v for k, v in p._patched.items()})
+            fn_col.extend(p._fn_col)
+            off += len(p)
+        cat = lambda name: np.concatenate([getattr(p, name) for p in parts])
+        return cls(cat("gfam_score"), cat("lfam_score"), cat("score"),
+                   cat("weighted_score"), cat("_gpgf_idx"), cat("_gvalid"),
+                   cat("_lfam_idx"), cat("_lvalid"), fn_col,
+                   parts[0]._pgf_names, parts[0]._plf_names,
+                   _patched=patched or None)
+
+    @classmethod
     def from_objects(cls, ms: list) -> "BestMatchColumns":
         """Wrap an existing BestMatch list (fallback paths) so callers
         asking for arrays always get the same interface."""
