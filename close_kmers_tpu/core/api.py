@@ -330,6 +330,9 @@ class KmerEngine:
         # jump straight to what the failed readback says is needed.
         B0 = int(offsets.shape[0])
         if B0 == 0:
+            if as_arrays:
+                from .family import BestMatchColumns
+                return BestMatchColumns.from_objects([])
             return []
         CH = self.FAMILY_MATCH_CHUNK
         # Small-window batches (the /fq_lookup ORF regime: L=64 -> W=57,

@@ -417,14 +417,17 @@ def batch_orf_arrays(seqs: list, min_len: int = 10,
     for f, mat in enumerate(f_mats):
         if mat.shape[1]:
             big[f * R:(f + 1) * R, :mat.shape[1]] = mat
-    # guard pad instead of a per-element clip; int32 indices (6R*Wmax is
-    # far below 2^31, and the int64 index grid alone was ~100 MB/pass)
+    # guard pad instead of a per-element clip; int32 indices for the
+    # common read-sized regime (the int64 index grid alone was ~100
+    # MB/pass), int64 when the stacked frame matrix could wrap int32
+    # (many long contigs: 6*R*Wmax + L can exceed 2^31)
     bigf = np.concatenate([big.reshape(-1),
                            np.full(L, 20, dtype=np.uint8)])
-    krow = tok_fpos[kept].astype(np.int32) * np.int32(R) \
-        + tok_row[kept].astype(np.int32)
-    base = krow * np.int32(Wmax) + tok_start[kept].astype(np.int32)
-    idxf = base[:, None] + np.arange(L, dtype=np.int32)[None, :]
+    idt = np.int64 if 6 * R * Wmax + L >= 2**31 else np.int32
+    krow = tok_fpos[kept].astype(idt) * idt(R) \
+        + tok_row[kept].astype(idt)
+    base = krow * idt(Wmax) + tok_start[kept].astype(idt)
+    idxf = base[:, None] + np.arange(L, dtype=idt)[None, :]
     offsets = bigf[idxf]
     offsets[np.arange(L, dtype=np.int32)[None, :] >= lengths[:, None]] = 20
 

@@ -343,85 +343,6 @@ def shard_fam_table(fam_np: np.ndarray, sdb: ShardedDB) -> jax.Array:
     return jax.device_put(jnp.asarray(out), shard)
 
 
-def _annotate_step_local(bp, lo, payload, hi_base, pw, sh, sb, fam_tab,
-                         offsets, lengths, *, n_steps, m, cap_seq,
-                         wide_w=0, sub_w=0):
-    """One full device-side annotation step: probe + psum merge + the
-    complete run/gap/two-hit scoring scan + per-sequence reductions +
-    (when fam_tab is present) the cross-shard family rollup.  This is the
-    framework's "training step" analogue — the compute graph the driver
-    dry-runs over an N-device mesh."""
-    from ..core.device_score import _scan_score
-
-    lfound, l_fi, l_oi, l_av, l_wt, l_idx, hi_q, lo_q = _local_probe_full(
-        bp, lo, payload, hi_base, pw, sh, sb, offsets, lengths,
-        n_steps=n_steps, m=m, wide_w=wide_w, sub_w=sub_w)
-    found, p_fi, p_oi, p_av, p_wt = _merge_probe(
-        lfound, l_fi, l_oi, l_av, l_wt)
-    fnd = found > 0
-    n_hits = jnp.sum(found, axis=1)
-    weighted = jnp.sum(jnp.where(fnd, p_wt, 0.0), axis=1)
-    # the full sequential scoring state machine over the merged hits
-    emit, (c_start, c_end, c_cnt, c_fi, c_wt) = _scan_score(
-        fnd, p_fi, p_av, p_wt, 5, 0, 200, 0)
-    n_calls = emit.sum(axis=1, dtype=jnp.int32)
-    call_wt = jnp.sum(jnp.where(emit, c_wt, 0.0), axis=1)
-    # per-sequence per-function weighted rollup onto a capped function
-    # table (segment-reduce analogue of seq_score accumulation)
-    NFUNC_TILE = 128
-    f_mod = jnp.where(fnd, p_fi % NFUNC_TILE, NFUNC_TILE)
-    one_hot = jax.nn.one_hot(f_mod, NFUNC_TILE + 1, dtype=jnp.float32)
-    func_wt = jnp.einsum("bwf,bw->bf", one_hot,
-                         jnp.where(fnd, p_wt, 0.0))
-    outs = (n_hits, weighted, func_wt[:, :NFUNC_TILE], n_calls, call_wt)
-    if fam_tab is not None:
-        from ..core.device_family import _gather_fams, rollup_from_fams
-        # local family gather (miss rows gather the -1 pad row), then a
-        # +1/-1 shifted psum merges shards (exactly one shard can hit)
-        fams_l = _gather_fams(fam_tab[0], l_idx)       # [B, W, D]
-        contrib = jnp.where(lfound[..., None], fams_l + 1, 0)
-        fams = jax.lax.psum(contrib, "table") - 1
-        outs = outs + (rollup_from_fams(fams, cap_seq),)
-    return outs
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("n_steps", "m", "mesh", "cap_seq",
-                                    "wide_w", "sub_w"))
-def _annotate_step_jit(bp, lo, payload, hi_base, pw, sh, sb, fam_tab,
-                       n_steps, m, mesh, cap_seq, offsets, lengths,
-                       wide_w=0, sub_w=0):
-    n_out = 5 + (1 if fam_tab is not None else 0)
-    fn = jax.shard_map(
-        functools.partial(_annotate_step_local, n_steps=n_steps, m=m,
-                          cap_seq=cap_seq, wide_w=wide_w, sub_w=sub_w),
-        mesh=mesh,
-        in_specs=(P("table", None, None), P("table", None),
-                  P("table", None, None), P("table", None),
-                  _tbl(pw), _tbl(sh), _tbl(sb),
-                  P("table", None, None) if fam_tab is not None else P(),
-                  P("data", None), P("data")),
-        out_specs=(P("data"), P("data"), P("data", None), P("data"),
-                   P("data")) + ((P("data"),) if fam_tab is not None
-                                 else ()),
-    )
-    return fn(bp, lo, payload, hi_base, pw, sh, sb, fam_tab,
-              offsets, lengths)
-
-
-def annotate_step_sharded(sdb: ShardedDB, offsets, lengths,
-                          fam_shards: jax.Array | None = None,
-                          cap_seq: int = 8):
-    """Full jitted multi-chip annotation step (probe + merge + on-device
-    score reductions; plus the family rollup when ``fam_shards`` — from
-    :func:`shard_fam_table` — is given, appending the packed rollup
-    buffer of device_family.rollup_from_fams to the outputs)."""
-    return _annotate_step_jit(*sdb.probe_args(), fam_shards,
-                              sdb.n_steps, sdb.m,
-                              sdb.mesh, cap_seq, jnp.asarray(offsets),
-                              jnp.asarray(lengths), sdb.wide_w, sdb.sub_w)
-
-
 def _routed_probe_core(bp, lo_t, payload, hi_base, pw, shh, sb, bounds,
                        fam_tab, hi_q, lo_q, valid, *, n_steps, m, S, cap,
                        ov_cap, wide_w=0, sub_w=0, fam_d=0):
@@ -822,9 +743,19 @@ class ShardedEngine:
             out = probe_routed(self.sdb, offsets, lengths)
             if int(np.asarray(out[8]).sum()):
                 # skewed query hi distribution exceeded both routing
-                # capacities: re-dispatch with the drop-free capacity
-                out = probe_routed(self.sdb, offsets, lengths,
-                                   capacity_factor=None)
+                # capacities: escalate geometrically before falling back
+                # to the drop-free capacity (cap = a device's FULL window
+                # count), whose S-fold exchange buffers + fresh
+                # (cap, ov_cap) compile can OOM/stall at large S
+                import logging
+                for cf in (8.0, None):
+                    logging.getLogger(__name__).warning(
+                        "routed probe dropped windows; re-dispatching "
+                        "with capacity_factor=%s", cf)
+                    out = probe_routed(self.sdb, offsets, lengths,
+                                       capacity_factor=cf)
+                    if not int(np.asarray(out[8]).sum()):
+                        break
             found, fi, oi, av, wt, hi, lo = out[:7]
         else:
             found, fi, oi, av, wt, hi, lo = probe_sharded(

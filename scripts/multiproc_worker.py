@@ -3,7 +3,7 @@
 Each process brings up jax.distributed on the CPU backend with N virtual
 local devices, joins the global ("data", "table") mesh, and runs BOTH
 the sharded probe and the FULL sharded annotation step
-(annotate_step_sharded: probe + psum merge + scoring scan + per-sequence
+(serve_step_sharded: probe + psum merge + scoring scan + per-sequence
 reductions + cross-shard family rollup) over two DB shapes — a
 shallow-bucket one (payload-wide shard layout) and a deep-bucket one
 (sub-bucket shard layout).  Every process verifies its own addressable
@@ -111,7 +111,6 @@ def run_case(pid, mesh, mesh_local, db, rng, label: str) -> int:
     from close_kmers_tpu.parallel.multihost import (addressable_rows,
                                                     replicate_to_global)
     from close_kmers_tpu.parallel.sharding import (ShardedDB,
-                                                   annotate_step_sharded,
                                                    probe_sharded,
                                                    shard_fam_table)
 
@@ -151,23 +150,31 @@ def run_case(pid, mesh, mesh_local, db, rng, label: str) -> int:
                 f"proc {pid} [{label}]: probe shard {idx} mismatch"
             n_checked += 1
 
-    # FULL annotation step across processes vs the same step on a
-    # trivial 1-device local mesh (psum over one shard = identity)
+    # FULL serving step (replicated probe + psum merge) across
+    # processes vs the same step on a trivial 1-device local mesh (psum
+    # over one shard = identity)
     CAP = 8
+    from close_kmers_tpu.params import EngineParams
+    from close_kmers_tpu.parallel.sharding import serve_step_sharded
+    params0 = EngineParams()
     t0 = time.time()
-    outs = annotate_step_sharded(sdb, g_off, g_len, fam_shards, CAP)
+    outs = serve_step_sharded(sdb, g_off, g_len, params=params0,
+                              fam_shards=fam_shards, cap_seq=CAP,
+                              routed=False)
     jax.block_until_ready(outs[0])
     t_step = time.time() - t0
 
     sdb1 = ShardedDB.from_db(db, mesh_local)
     fam1 = shard_fam_table(fam_np, sdb1)
-    ref = annotate_step_sharded(sdb1, offsets, lengths.astype(np.int32),
-                                fam1, CAP)
+    ref = serve_step_sharded(sdb1, offsets, lengths.astype(np.int32),
+                             params=params0, fam_shards=fam1,
+                             cap_seq=CAP, routed=False)
     ref_np = [np.asarray(r) for r in ref]
 
-    names = ("n_hits", "weighted", "func_wt", "n_calls", "call_wt",
-             "fam_rollup")
+    names = ("best_pack", "n_ovf", "n_drop", "fam_rollup")
     for name, arr, exp in zip(names, outs, ref_np):
+        if name in ("n_ovf", "n_drop"):
+            continue              # per-device counters, shapes differ
         for idx, data in addressable_rows(arr):
             assert np.array_equal(data, exp[idx]), \
                 f"proc {pid} [{label}]: step output {name} shard mismatch"
@@ -177,8 +184,6 @@ def run_case(pid, mesh, mesh_local, db, rng, label: str) -> int:
     # exchange path + real-params scoring + device best-call pack +
     # family rollup rows) vs the identical program on the trivial local
     # mesh (all_to_all/psum = identity there).
-    from close_kmers_tpu.params import EngineParams
-    from close_kmers_tpu.parallel.sharding import serve_step_sharded
     params = EngineParams(min_hits=3, max_gap=150)
     t0 = time.time()
     r_outs = serve_step_sharded(sdb, g_off, g_len, params=params,

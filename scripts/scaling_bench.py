@@ -72,7 +72,7 @@ import bench  # noqa: E402
 import jax  # noqa: E402
 
 from close_kmers_tpu.parallel.sharding import (  # noqa: E402
-    ShardedDB, annotate_step_sharded, make_mesh, shard_fam_table)
+    ShardedDB, serve_step_sharded, make_mesh, shard_fam_table)
 
 K_HI = 8
 K_LO = 2
@@ -86,8 +86,9 @@ def run_config(db, offsets, lengths, fam_np, n_data, n_table):
     B = offsets.shape[0]
 
     def step():
-        out = annotate_step_sharded(sdb, offsets, lengths,
-                                    fam_shards=fam_sh, cap_seq=16)
+        out = serve_step_sharded(sdb, offsets, lengths,
+                                 fam_shards=fam_sh, cap_seq=16,
+                                 routed=False)
         jax.block_until_ready(out)
         return out
 

@@ -8,7 +8,7 @@ import pytest
 from close_kmers_tpu.params import EngineParams
 from close_kmers_tpu.core.engine import FastAnnotator
 from close_kmers_tpu.parallel.sharding import (
-    ShardedEngine, ShardedDB, make_mesh, annotate_step_sharded,
+    ShardedEngine, ShardedDB, make_mesh,
     probe_sharded, probe_routed, serve_step_sharded, shard_fam_table)
 
 from test_engine import random_db, random_seqs
@@ -56,22 +56,18 @@ def test_sharded_batch_padding(corpus):
     assert np.array_equal(got["row_off"], want["row_off"])
 
 
-def test_annotate_step_runs_sharded(corpus):
+def test_probe_step_hit_counts_sharded(corpus):
+    """Per-sequence hit counts from the sharded probe grid must match the
+    single-chip compact probe (the annotate_step n_hits cross-check,
+    retired with the mod-128 sketch, now against probe_sharded)."""
     db, seqs = corpus
     mesh = make_mesh(2, 4)
-    se = ShardedEngine(db, mesh)
+    sdb = ShardedDB.from_db(db, mesh)
     fa = FastAnnotator(db)
     offsets, lengths = fa.pad_batch(seqs[:8])
-    n_hits, weighted, func_wt, n_calls, call_wt = annotate_step_sharded(
-        se.sdb, offsets, lengths)
-    n_hits = np.asarray(n_hits)
-    # cross-check hit counts against the compact probe
+    found = np.asarray(probe_sharded(sdb, offsets, lengths)[0])
     want = fa.probe_compact(offsets, lengths)
-    counts = np.diff(want["row_off"])
-    assert np.array_equal(n_hits, counts)
-    assert np.asarray(func_wt).shape == (8, 128)
-    assert np.asarray(n_calls).shape == (8,)
-    assert (np.asarray(n_calls) >= 0).all()
+    assert np.array_equal(found.sum(axis=1), np.diff(want["row_off"]))
 
 
 def test_sharded_db_row_ranges(corpus):
@@ -132,10 +128,10 @@ def test_sharded_family_rollup_matches_single_chip(corpus):
     sdb = ShardedDB.from_db(db, mesh)
     fam_np = np.asarray(dfs.fdb.fam)
     fam_sh = shard_fam_table(fam_np, sdb)
-    outs = annotate_step_sharded(sdb, offsets, lengths,
-                                 fam_shards=fam_sh, cap_seq=64)
-    assert len(outs) == 6
-    got = DeviceFamilyScorer.finish_rollup_rows(np.asarray(outs[5]), 64)
+    outs = serve_step_sharded(sdb, offsets, lengths,
+                              fam_shards=fam_sh, cap_seq=64, routed=False)
+    assert len(outs) == 4
+    got = DeviceFamilyScorer.finish_rollup_rows(np.asarray(outs[3]), 64)
     assert got is not None
     for a, b in zip(got, want):
         assert np.array_equal(np.asarray(a), np.asarray(b))
