@@ -99,12 +99,19 @@ def bench_tpu(db, offsets, lengths):
 
     ds = DeviceScorer(db)
     params = EngineParams()
+    # best-call serving never reads call positions: the slim pack drops
+    # the start/end planes (5 -> 2-3 D2H planes; ~0.2-0.3 s/pass of D2H
+    # on this relay at cap 2)
+    slim = ds.slim_mode()
+    unpack = (DeviceScorer.unpack_dense2 if slim == 2
+              else DeviceScorer.unpack_dense3)
 
     def host_side(out_np, B, cap):
-        dense = DeviceScorer.unpack_dense(out_np, B, cap)
+        dense = unpack(out_np, B, cap)
         assert dense is not None, "call cap overflow"
-        n_calls, cs, ce, cc, cf, cw = dense
-        nf, ofi, ocnt, owt = native.best_call_batch(n_calls, cs, ce, cc, cf, cw)
+        n_calls, cc, cf, cw = dense
+        nf, ofi, ocnt, owt = native.best_call_batch(n_calls, None, None,
+                                                    cc, cf, cw)
         return int(n_calls.sum())
 
     import jax
@@ -117,7 +124,7 @@ def bench_tpu(db, offsets, lengths):
     # warmup/compile
     t0 = time.time()
     out, cap = ds.score_batch_packed(offsets[:BATCH], lengths[:BATCH], params,
-                                     calls_per_seq_cap=CALL_CAP)
+                                     calls_per_seq_cap=CALL_CAP, slim=slim)
     host_side(np.asarray(out), BATCH, cap)
     jax.block_until_ready(jnp.concatenate([out, out]))
     log(f"warmup+compile {time.time()-t0:.1f}s")
@@ -131,7 +138,7 @@ def bench_tpu(db, offsets, lengths):
         calls = 0
         k = 0
         for _, bsz, cap in group:
-            n = bsz + 5 * cap
+            n = bsz + slim * cap
             calls += host_side(joined[k:k + n], bsz, cap)
             k += n
         return calls, sum(g[1] for g in group)
@@ -147,7 +154,8 @@ def bench_tpu(db, offsets, lengths):
                 break
             out, cap = ds.score_batch_packed(offsets[a:b], lengths[a:b],
                                              params,
-                                             calls_per_seq_cap=CALL_CAP)
+                                             calls_per_seq_cap=CALL_CAP,
+                                             slim=slim)
             pending.append((out, b - a, cap))
             if len(pending) >= GROUP:
                 if ready is not None:
@@ -375,11 +383,17 @@ def bench_genome(eng, offsets, hp):
     return rate, cpu_rate
 
 
-def bench_matrix(eng, offsets, lengths, rng):
+def bench_matrix(eng, offsets, lengths, rng, hp=None):
     """/matrix workload (BASELINE config 4): all-vs-all shared-kmer
-    counts over one request's proteins — the handler's vectorized core
-    (searchsorted + CSR flatten + unique; matrix_request.cc:130-161)."""
-    P = int(os.environ.get("BENCH_MATRIX_P", 512))
+    counts over one request's proteins.  TPU side = one batched probe +
+    a fully vectorized CSR flatten/pair reduction (the handler's
+    semantics, server/http.py handle_matrix); CPU side = the reference
+    architecture on one core — hash probe + per-hit peg-list walk +
+    std::map pair counts (matrix_request.cc:83-161, its O(P^2)-pair
+    design) over the same proteins, same run."""
+    from close_kmers_tpu.native import api as native
+
+    P = int(os.environ.get("BENCH_MATRIX_P", 2048))
     off_m, len_m = offsets[:P], lengths[:P]
     # deg-1..3 kmer->peg CSR over the DB; peg ids land in [0, 2P) so
     # roughly half of every hit's peg list points at registered matrix
@@ -396,42 +410,51 @@ def bench_matrix(eng, offsets, lengths, rng):
     def one_pass():
         t0 = time.time()
         h = eng.fa.probe_compact(off_m, len_m, rows_only=True)
-        member = np.zeros(2 * P + 2, dtype=bool)
-        distance = {}
-        for s in range(P):
-            eid = s
-            member[eid] = True
-            a, b = int(h["row_off"][s]), int(h["row_off"][s + 1])
-            codes = h["code"][a:b]
-            if not len(codes):
-                continue
-            pos = np.searchsorted(keys, codes)
-            pos = np.minimum(pos, len(keys) - 1)
-            pos = pos[keys[pos] == codes]
-            st, en = offs[pos], offs[pos + 1]
-            cnts = en - st
-            tot = int(cnts.sum())
-            if not tot:
-                continue
-            base = np.repeat(st - np.concatenate(
-                [[0], np.cumsum(cnts)[:-1]]), cnts)
-            flat = vals[base + np.arange(tot)]
-            sel = flat[(flat != eid) & member[flat]]
-            others, counts = np.unique(sel, return_counts=True)
-            for o, c in zip(others.tolist(), counts.tolist()):
-                key = (eid, int(o))
-                distance[key] = distance.get(key, 0) + int(c)
-        return time.time() - t0, len(distance)
+        codes = h["code"]
+        row = np.repeat(np.arange(P, dtype=np.int64),
+                        np.diff(h["row_off"]))
+        pos = np.searchsorted(keys, codes)
+        pos = np.minimum(pos, len(keys) - 1)
+        ok = keys[pos] == codes
+        pos, row = pos[ok], row[ok]
+        st, en = offs[pos], offs[pos + 1]
+        cnts = en - st
+        tot = int(cnts.sum())
+        base = np.repeat(st - np.concatenate(
+            [[0], np.cumsum(cnts)[:-1]]), cnts)
+        flat = vals[base + np.arange(tot)]
+        frow = np.repeat(row, cnts)
+        # registration order: protein s's hits count only pegs already
+        # registered (o <= s) minus self => o < s (handle_matrix parity)
+        keep = flat < frow
+        pk = frow[keep] * np.int64(2 * P) + flat[keep]
+        upk, ucnt = np.unique(pk, return_counts=True)
+        return time.time() - t0, len(upk), int(ucnt.sum())
 
     one_pass()
     best = None
     for _ in range(3):
-        dt, n_pairs = one_pass()
+        dt, n_pairs, shared = one_pass()
         best = dt if best is None else min(best, dt)
     rate = P / best
     log(f"matrix path: {P} proteins in {best:.2f}s best-of-3 "
         f"({rate:.0f} proteins/s, {n_pairs} pairs)")
-    return rate
+
+    cpu_rate = None
+    if hp is not None:
+        pm = native.PegMapRef(keys, offs, vals)     # preload, untimed
+        best_c = None
+        for _ in range(2):
+            t0 = time.time()
+            n_pairs_c, shared_c = native.matrix_hash(hp, pm, off_m, len_m)
+            dt = time.time() - t0
+            best_c = dt if best_c is None else min(best_c, dt)
+        assert (n_pairs_c, shared_c) == (n_pairs, shared), (
+            "matrix CPU/TPU disagree", n_pairs_c, n_pairs, shared_c, shared)
+        cpu_rate = P / best_c
+        log(f"matrix CPU core (reference hash + map walk): "
+            f"{cpu_rate:.0f} proteins/s ({n_pairs_c} pairs)")
+    return rate, cpu_rate
 
 
 def main():
@@ -487,8 +510,11 @@ def main():
             log("genome bench failed:", e)
     if eng is not None and os.environ.get("BENCH_MATRIX", "1") == "1":
         try:
-            mx = bench_matrix(eng, offsets, lengths, rng)
+            mx, mx_cpu = bench_matrix(eng, offsets, lengths, rng, hp)
             workloads["matrix"] = {"proteins_per_s": round(mx, 1)}
+            if mx_cpu is not None:
+                workloads["matrix"]["cpu_core_proteins_per_s"] = \
+                    round(mx_cpu, 1)
         except Exception as e:
             log("matrix bench failed:", e)
 

@@ -47,6 +47,48 @@ def _scan_score(found, h_fi, h_av, h_wt, min_hits, min_weighted_hits,
     """found/h_fi/h_av/h_wt: [B, W].  Returns per-position call emissions
     ([B, W+1] fields; the final column is the end-of-sequence flush) and
     per-sequence call counts."""
+    emit, fields, _state = _scan_score_core(
+        found, h_fi, h_av, h_wt, min_hits, min_weighted_hits, max_gap,
+        order_constraint)
+    return emit, fields
+
+
+def neutral_scan_state(like_i32, like_f32):
+    """The gather_hits state at sequence start (all-zero carry), derived
+    from input arrays so the fields keep the callers' varying-axes type
+    under shard_map."""
+    zero = jnp.zeros_like(like_i32, dtype=jnp.int32)
+    zf = jnp.zeros_like(like_f32, dtype=jnp.float32)
+    return dict(
+        num_hits=zero, current=zero, first_pos=zero,
+        prev_fi=zero, prev_pos=zero, prev_av=zero, prev_wt=zf,
+        prev2_fi=zero, prev2_pos=zero, prev2_wt=zf,
+        cnt=zero, wsum=zf, last_match=zero,
+    )
+
+
+def _scan_score_core(found, h_fi, h_av, h_wt, min_hits, min_weighted_hits,
+                     max_gap, order_constraint, init=None, pos0=None,
+                     want_emit=True, final_flush=None):
+    """The gather_hits state machine as a batched scan, generalized for
+    chained tiles (the long-contig sequence-parallel path, SURVEY.md §5):
+
+    * ``init`` — per-row carry state to resume from (default: the neutral
+      sequence-start state).  The 13-field carry is the COMPLETE machine
+      state (kguts.h:263-285 reduces to it when order_constraint admits
+      everything or rejects by the last hit only), so threading a row's
+      final state into the next tile's init reproduces the untiled scan
+      exactly.
+    * ``pos0`` — per-row global position of column 0 (default 0); all
+      positions in the carry and emitted calls are pos0-relative-global,
+      so gap tests work across tile boundaries.
+    * ``want_emit=False`` — skip emission outputs (returns (None, None,
+      state)); the fixpoint iterations of the genome path only need
+      final carries.
+    * ``final_flush`` — [B] bool: which rows perform the end-of-sequence
+      flush (kguts.cc:873-877); interior tiles of a chained sequence
+      must NOT flush (their state continues into the next tile).
+    """
     B, W = found.shape
     if W >= HIT_BUFFER_CAP:
         raise ValueError("padded width exceeds the reference hit-buffer cap")
@@ -59,12 +101,9 @@ def _scan_score(found, h_fi, h_av, h_wt, min_hits, min_weighted_hits,
     zero = jnp.zeros_like(h_fi[:, 0], dtype=i32)
     zf = jnp.zeros_like(h_wt[:, 0], dtype=f32)
 
-    init = dict(
-        num_hits=zero, current=zero, first_pos=zero,
-        prev_fi=zero, prev_pos=zero, prev_av=zero, prev_wt=zf,
-        prev2_fi=zero, prev2_pos=zero, prev2_wt=zf,
-        cnt=zero, wsum=zf, last_match=zero,
-    )
+    init = init if init is not None else neutral_scan_state(
+        h_fi[:, 0], h_wt[:, 0])
+    pos_base = zero if pos0 is None else pos0.astype(i32)
 
     def flush_fields(s):
         """Emission test + call fields for process_set_of_hits
@@ -95,7 +134,7 @@ def _scan_score(found, h_fi, h_av, h_wt, min_hits, min_weighted_hits,
 
     def step(s, x):
         h, fi, av, wt, pos = x
-        posb = jnp.full((B,), pos, i32)
+        posb = pos_base + pos
 
         # --- gap handling (kguts.cc:821-831)
         gap = h & (s["num_hits"] > 0) & (s["prev_pos"] + max_gap < posb)
@@ -151,21 +190,25 @@ def _scan_score(found, h_fi, h_av, h_wt, min_hits, min_weighted_hits,
 
         emit = emitA | emitB
         call = tuple(jnp.where(emitA, a, b) for a, b in zip(callA, callB))
-        y = (emit,) + call
+        y = (emit,) + call if want_emit else None
         return s, y
 
     pos_seq = jnp.arange(W, dtype=i32)
     xs = (found.T, h_fi.T, h_av.T, h_wt.T, pos_seq)
     state, ys = jax.lax.scan(step, init, xs)
+    if not want_emit:
+        return None, None, state
 
     # end-of-sequence flush (kguts.cc:873-875)
     emitF, callF = flush_fields(state)
     emitF = emitF & (state["num_hits"] >= min_hits)
+    if final_flush is not None:
+        emitF = emitF & final_flush
 
     emit = jnp.concatenate([ys[0].T, emitF[:, None]], axis=1)     # [B, W+1]
     fields = [jnp.concatenate([y.T, c[:, None]], axis=1)
               for y, c in zip(ys[1:], callF)]
-    return emit, fields
+    return emit, fields, state
 
 
 def _left_pack(valid, fields):
@@ -395,14 +438,14 @@ def _probe_best_jit(bucket_pair, lo_arr, payload,
     jax.jit,
     static_argnames=("min_hits", "min_weighted_hits", "max_gap",
                      "order_constraint", "call_cap", "use_pallas", "L",
-                     "pack_mode", "wide_w", "sub_w", "fused_w"))
+                     "pack_mode", "wide_w", "sub_w", "fused_w", "slim"))
 def _probe_score_jit(bucket_pair, lo_arr, payload,
                      n, n_steps, offsets, lengths,
                      min_hits, min_weighted_hits, max_gap, order_constraint,
                      call_cap, use_pallas=False, L=0, lo_wide=None,
                      pack_mode=1, payload_wide=None, wide_w=0,
                      sub_header=None, sub_blocks=None, sub_w=0,
-                    fused_wide=None, fused_w=0):
+                     fused_wide=None, fused_w=0, slim=0):
     ddb = DeviceDB(bucket_pair, lo_arr, payload, n_steps, n, lo_wide,
                    payload_wide, wide_w, sub_header, sub_blocks, sub_w,
                    fused_wide, fused_w)
@@ -432,14 +475,36 @@ def _probe_score_jit(bucket_pair, lo_arr, payload,
     # position-ordered) order among the emitted calls.
     flat_emit = emit.reshape(-1)
     order = jnp.argsort(~flat_emit, stable=True)[:call_cap]
-    pack = jnp.stack([
-        c_start.reshape(-1)[order].astype(jnp.int32),
-        c_end.reshape(-1)[order].astype(jnp.int32),
-        c_cnt.reshape(-1)[order].astype(jnp.int32),
-        c_fi.reshape(-1)[order].astype(jnp.int32),
-        jax.lax.bitcast_convert_type(c_wt.reshape(-1)[order], jnp.int32),
-    ])  # [5, call_cap]
-    # single packed buffer: [B] n_calls ++ [5*call_cap] call fields
+    if slim == 2:
+        # folded 2-plane pack (cnt << CALL_FOLD_SHIFT | fi, wt): the
+        # best-call serving mode never reads call positions
+        # (kguts.cc:1023-1139) and the fold is legal when fi fits
+        # CALL_FOLD_SHIFT bits — callers gate via DeviceScorer.slim_mode
+        from .device_family import CALL_FOLD_SHIFT
+        planes = [
+            (c_cnt.reshape(-1)[order].astype(jnp.int32) << CALL_FOLD_SHIFT)
+            | c_fi.reshape(-1)[order].astype(jnp.int32),
+            jax.lax.bitcast_convert_type(c_wt.reshape(-1)[order],
+                                         jnp.int32),
+        ]
+    elif slim == 3:
+        planes = [
+            c_cnt.reshape(-1)[order].astype(jnp.int32),
+            c_fi.reshape(-1)[order].astype(jnp.int32),
+            jax.lax.bitcast_convert_type(c_wt.reshape(-1)[order],
+                                         jnp.int32),
+        ]
+    else:
+        planes = [
+            c_start.reshape(-1)[order].astype(jnp.int32),
+            c_end.reshape(-1)[order].astype(jnp.int32),
+            c_cnt.reshape(-1)[order].astype(jnp.int32),
+            c_fi.reshape(-1)[order].astype(jnp.int32),
+            jax.lax.bitcast_convert_type(c_wt.reshape(-1)[order],
+                                         jnp.int32),
+        ]
+    pack = jnp.stack(planes)
+    # single packed buffer: [B] n_calls ++ [n_planes*call_cap] fields
     out = jnp.concatenate([n_calls, pack.reshape(-1)])
     n_hits_total = found.sum(dtype=jnp.int32)
     return out, n_hits_total
@@ -647,16 +712,29 @@ class DeviceScorer:
             res.append(finish_best_call(nf, fi3, cnt3, wt3, function_of))
         return res
 
+    def slim_mode(self) -> int:
+        """The cheapest legal call-pack for best-call-only consumers:
+        2 (folded cnt|fi plane) when every fi fits CALL_FOLD_SHIFT bits,
+        else 3 (separate cnt/fi planes).  Positions are dropped either
+        way — find_best_call never reads them (kguts.cc:1023-1139)."""
+        from .device_family import CALL_FOLD_SHIFT
+        n_funcs = int(self.db.fi.max()) + 1 if len(self.db) else 1
+        return 2 if n_funcs < (1 << CALL_FOLD_SHIFT) else 3
+
     def score_batch_packed(self, offsets, lengths,
                            params: EngineParams | None = None,
                            calls_per_seq_cap: float = 4,
-                           packed_L: int = 0, pack_mode: int = 1):
+                           packed_L: int = 0, pack_mode: int = 1,
+                           slim: int = 0):
         """Async-friendly variant: returns the device array (not yet
         transferred) so callers can pipeline dispatch and readback.
         If ``packed_L`` is nonzero, ``offsets`` arrives 5-bit packed and
         unpacks to [B, packed_L] on device: pack_mode 1 = byte-interleaved
         u8 (engine.pack_offsets), 2 = planar i32 words
-        (engine.pack_offsets_planar — the TPU-friendly unpack)."""
+        (engine.pack_offsets_planar — the TPU-friendly unpack).
+        ``slim`` (0/2/3, see :meth:`slim_mode`) selects the call-pack
+        plane count; unpack with unpack_dense / unpack_dense2 /
+        unpack_dense3 accordingly."""
         params = params or EngineParams()
         d = self.ddb
         # fractional caps allowed: the cap bounds TOTAL calls per batch
@@ -668,5 +746,5 @@ class DeviceScorer:
             params.order_constraint, cap, self.use_pallas, packed_L,
             d.lo_wide, pack_mode, d.payload_wide, d.wide_w,
             d.sub_header, d.sub_blocks, d.sub_w,
-            d.fused_wide, d.fused_w)
+            d.fused_wide, d.fused_w, slim)
         return out, cap

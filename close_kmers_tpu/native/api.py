@@ -162,6 +162,41 @@ class HashPipeline:
             pass
 
 
+class PegMapRef:
+    """kmer->peg CSR preloaded into an unordered_map (the reference's
+    resident KmerPegMapping, kmer.h:77-101) for the matrix baseline."""
+
+    def __init__(self, keys, offs, vals):
+        l = lib()
+        l.ck_pegmap_build.restype = C.c_void_p
+        self._m = l.ck_pegmap_build(
+            _p(_i64(keys), C.c_int64), _p(_i64(offs), C.c_int64),
+            _p(_i64(vals), C.c_int64), C.c_int64(len(keys)))
+
+    def __del__(self):
+        try:
+            lib().ck_pegmap_free(C.c_void_p(self._m))
+        except Exception:
+            pass
+
+
+def matrix_hash(hp, pegmap, offsets, lengths):
+    """Single-core /matrix on the reference architecture: hash probe +
+    per-hit peg-list walk + std::map pair counts (matrix_request.cc:
+    83-161).  Returns (n_pairs, total_shared)."""
+    l = lib()
+    l.ck_matrix_hash.restype = C.c_int64
+    offsets = np.ascontiguousarray(offsets, dtype=np.uint8)
+    n_seqs, stride = offsets.shape
+    shared = C.c_int64(0)
+    n_pairs = l.ck_matrix_hash(
+        C.c_void_p(hp._tab), C.c_int64(hp.size_hash),
+        C.c_void_p(pegmap._m), _p(offsets, C.c_uint8),
+        _p(_i32(lengths), C.c_int32), C.c_int(n_seqs), C.c_int(stride),
+        C.byref(shared))
+    return int(n_pairs), int(shared.value)
+
+
 def pipeline_batch(db, offsets, lengths, min_hits=5, max_gap=200):
     """Single-core encode+probe+score over a padded uint8 batch, using the
     same two-level index layout as the TPU kernel.  Returns per-seq call

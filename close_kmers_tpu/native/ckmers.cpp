@@ -19,6 +19,8 @@
 #include <cmath>
 #include <vector>
 #include <unordered_map>
+#include <map>
+#include <utility>
 
 extern "C" {
 
@@ -517,6 +519,92 @@ void ck_pipeline_batch(const int32_t* bucket_start, const int32_t* lo_arr,
                                    cc.data(), cf.data(), cw.data(), 256,
                                    nullptr);
     }
+}
+
+
+// ---------------------------------------------------------------------------
+// /matrix single-core reference baseline (matrix_request.cc:83-161):
+// per protein, per signature-kmer hit, walk the kmer->peg list and bump a
+// std::map<(this,other),int> for every already-registered matrix protein —
+// the reference's O(P^2)-pair design on the reference hash layout.  The
+// kmer->peg mapping preloads untimed (the reference holds it resident,
+// kmer.h:77-101); the timed loop is probe + map walk + pair map.
+// ---------------------------------------------------------------------------
+
+struct PegMap {
+    std::unordered_map<uint64_t, std::pair<int64_t, int32_t>> idx;
+    std::vector<int64_t> vals;
+};
+
+void* ck_pegmap_build(const int64_t* keys, const int64_t* offs,
+                      const int64_t* vals, int64_t n_keys) {
+    PegMap* m = new PegMap();
+    m->idx.reserve((size_t)n_keys * 2);
+    int64_t total = offs[n_keys];
+    m->vals.assign(vals, vals + total);
+    for (int64_t i = 0; i < n_keys; i++)
+        m->idx.emplace((uint64_t)keys[i],
+                       std::make_pair(offs[i], (int32_t)(offs[i + 1] - offs[i])));
+    return m;
+}
+
+void ck_pegmap_free(void* m) { delete (PegMap*)m; }
+
+// Returns the number of distinct pairs; *total_shared = sum of counts.
+int64_t ck_matrix_hash(const void* tab_v, int64_t size_hash,
+                       const void* pegmap_v,
+                       const uint8_t* seqs, const int32_t* lens,
+                       int n_seqs, int stride, int64_t* total_shared) {
+    const SigKmer* tab = (const SigKmer*)tab_v;
+    const PegMap* pm = (const PegMap*)pegmap_v;
+    std::vector<uint8_t> member;   // eid = s in [0, n_seqs); vals may
+    member.assign(2 * (size_t)n_seqs + 2, 0);  // exceed — treat as absent
+    std::map<std::pair<int32_t, int32_t>, int32_t> distance;
+    int64_t shared = 0;
+    for (int s = 0; s < n_seqs; s++) {
+        member[s] = 1;             // registered before its hits process
+        const uint8_t* pI = seqs + (int64_t)s * stride;
+        int len = lens[s];
+        int bound = len - 8;
+        int ppos = 0;
+        while (ppos < bound) {
+            bool ok = true;
+            for (int j = 7; j >= 0; j--)
+                if (pI[ppos + j] >= 20) { ppos += j + 1; ok = false; break; }
+            if (!ok) continue;
+            uint64_t enc = pI[ppos];
+            for (int j = 1; j < 8; j++) enc = enc * 20 + pI[ppos + j];
+            while (ppos < bound) {
+                int64_t where = hash_lookup(tab, size_hash, enc);
+                if (where >= 0) {
+                    auto it = pm->idx.find(enc);
+                    if (it != pm->idx.end()) {
+                        int64_t off = it->second.first;
+                        int32_t cnt = it->second.second;
+                        for (int32_t k = 0; k < cnt; k++) {
+                            int64_t o = pm->vals[off + k];
+                            if (o != s && (size_t)o < member.size()
+                                && member[o]) {
+                                distance[{(int32_t)s, (int32_t)o}]++;
+                                shared++;
+                            }
+                        }
+                    }
+                }
+                ppos++;
+                if (ppos < bound) {
+                    if (pI[ppos + 7] < 20) {
+                        enc = (enc % 1280000000ULL) * 20 + pI[ppos + 7];
+                    } else {
+                        ppos += 8;
+                        break;
+                    }
+                }
+            }
+        }
+    }
+    *total_shared = shared;
+    return (int64_t)distance.size();
 }
 
 }  // extern "C"
