@@ -379,12 +379,14 @@ def bench_genome(eng, offsets, hp):
 
 def bench_matrix(eng, offsets, lengths, rng, hp=None):
     """/matrix workload (BASELINE config 4): all-vs-all shared-kmer
-    counts over one request's proteins.  TPU side = one batched probe +
-    a fully vectorized CSR flatten/pair reduction (the handler's
-    semantics, server/http.py handle_matrix); CPU side = the reference
-    architecture on one core — hash probe + per-hit peg-list walk +
-    std::map pair counts (matrix_request.cc:83-161, its O(P^2)-pair
-    design) over the same proteins, same run."""
+    counts over one request's proteins.  TPU side = the device-resident
+    pair program (core/matrix.py: probe + CSR peg gathers + rank filter
+    + pair sort/run-length, only the compacted pair table crossing the
+    wire); CPU side = the reference architecture on one core — hash
+    probe + per-hit peg-list walk + std::map pair counts
+    (matrix_request.cc:83-161, its O(P^2)-pair design) over the same
+    proteins, same run."""
+    from close_kmers_tpu.core.matrix import DeviceMatrix
     from close_kmers_tpu.native import api as native
 
     P = int(os.environ.get("BENCH_MATRIX_P", 2048))
@@ -399,31 +401,14 @@ def bench_matrix(eng, offsets, lengths, rng, hp=None):
     np.cumsum(deg, out=offs[1:])
     vals = ((np.repeat(db.fi.astype(np.int64) * 3, deg)
              + (np.arange(offs[-1]) % 3)) % (2 * P)).astype(np.int64)
-    keys = db.keys
+    rank = np.full(2 * P, 1 << 20, dtype=np.int64)
+    rank[:P] = np.arange(P)   # eid == registration order == row
+    dm = DeviceMatrix(eng, max_deg=3)
 
     def one_pass():
         t0 = time.time()
-        h = eng.fa.probe_compact(off_m, len_m, rows_only=True)
-        codes = h["code"]
-        row = np.repeat(np.arange(P, dtype=np.int64),
-                        np.diff(h["row_off"]))
-        pos = np.searchsorted(keys, codes)
-        pos = np.minimum(pos, len(keys) - 1)
-        ok = keys[pos] == codes
-        pos, row = pos[ok], row[ok]
-        st, en = offs[pos], offs[pos + 1]
-        cnts = en - st
-        tot = int(cnts.sum())
-        base = np.repeat(st - np.concatenate(
-            [[0], np.cumsum(cnts)[:-1]]), cnts)
-        flat = vals[base + np.arange(tot)]
-        frow = np.repeat(row, cnts)
-        # registration order: protein s's hits count only pegs already
-        # registered (o <= s) minus self => o < s (handle_matrix parity)
-        keep = flat < frow
-        pk = frow[keep] * np.int64(2 * P) + flat[keep]
-        upk, ucnt = np.unique(pk, return_counts=True)
-        return time.time() - t0, len(upk), int(ucnt.sum())
+        pairs = dm.count_pairs(off_m, len_m, offs, vals, rank)
+        return time.time() - t0, len(pairs), sum(pairs.values())
 
     one_pass()
     best = None
@@ -436,7 +421,7 @@ def bench_matrix(eng, offsets, lengths, rng, hp=None):
 
     cpu_rate = None
     if hp is not None:
-        pm = native.PegMapRef(keys, offs, vals)     # preload, untimed
+        pm = native.PegMapRef(db.keys, offs, vals)  # preload, untimed
         best_c = None
         for _ in range(2):
             t0 = time.time()
@@ -478,11 +463,14 @@ def main():
         except Exception as e:
             log("device-resident bench failed:", e)
     eng = mapping = None
-    if os.environ.get("BENCH_FAMILY", "1") == "1":
+    try:
+        from close_kmers_tpu.core.api import KmerEngine
+        dbf, mapping = make_family_universe(db, rng)
+        eng = KmerEngine(dbf)
+    except Exception as e:
+        log("engine setup failed:", e)
+    if eng is not None and os.environ.get("BENCH_FAMILY", "1") == "1":
         try:
-            from close_kmers_tpu.core.api import KmerEngine
-            dbf, mapping = make_family_universe(db, rng)
-            eng = KmerEngine(dbf)
             fam = bench_family(eng, mapping, offsets, lengths)
             workloads["family_best_match"] = {
                 "proteins_per_s": round(fam, 1)}

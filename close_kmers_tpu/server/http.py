@@ -364,7 +364,29 @@ async def handle_matrix(ctx, req, body, writer, mapping):
     distance: dict[tuple[int, int], int] = {}
     member = np.zeros(0, dtype=bool)   # registered-eid mask (grown lazily)
 
+    # /matrix is inherently all-vs-all (the reference buffers every
+    # protein in matrix_proteins_ too), so drain the request first and
+    # try the device pair program (core/matrix.py) — probe + CSR peg
+    # gathers + registration-rank filter + pair sort, one small D2H.
+    # Any gate failure (huge degrees, duplicate ids, >2^15 proteins)
+    # falls back to the host walk below.
+    batches = []
     async for items in _fasta_batches(ctx, body):
+        batches.append(items)
+    items_all = [it for b in batches for it in b]
+    dev = None
+    if items_all:
+        from ..core.matrix import matrix_distance
+        loop = asyncio.get_running_loop()
+        dev = await loop.run_in_executor(
+            ctx._compute, lambda: matrix_distance(eng, mapping, items_all))
+    if dev is not None:
+        distance = dev
+        for sid, seq in items_all:
+            matrix_proteins[mapping.encode_peg(sid)] = len(seq)
+        batches = []
+
+    for items in batches:
         _results, h = await ctx.annotate(items, params)
         keys, offs, vals = mapping.peg_csr()
         # the mask must cover every interned peg id the CSR can emit
