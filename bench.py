@@ -144,25 +144,32 @@ def bench_tpu(db, offsets, lengths):
     def one_pass():
         """Dispatch-ahead serving loop (wire_exp2/3 anatomy): enqueue
         EVERY batch up front — uploads and computes chain on the device
-        while the Python thread never blocks — then drain outputs in
-        GROUP-sized device concats (one D2H per group; the relay's
-        per-transfer latency dominates over its bandwidth), finishing
-        each group on host while later groups still compute."""
+        while the Python thread never blocks — with each GROUP's device
+        concat dispatched EAGERLY (the device runs programs in dispatch
+        order, so a concat enqueued during the drain loop would wait for
+        every later batch; enqueued here it runs right after its group
+        and its D2H overlaps later groups' compute).  One D2H per group:
+        the relay's per-transfer latency dominates over its bandwidth."""
         t0 = time.time()
         outs = []
+        joins = []
         for c in chunks:
             out, cap = ds.score_batch_packed(c, lens_b, params,
                                              calls_per_seq_cap=CALL_CAP,
                                              slim=slim)
             outs.append(out)
+            if len(outs) >= GROUP:
+                joins.append((jnp.concatenate(outs), len(outs)))
+                outs = []
+        if outs:
+            joins.append((jnp.concatenate(outs)
+                          if len(outs) > 1 else outs[0], len(outs)))
         total_calls = n_done = 0
-        for a in range(0, len(outs), GROUP):
-            g = outs[a:a + GROUP]
-            joined = np.asarray(jnp.concatenate(g)) if len(g) > 1 \
-                else np.asarray(g[0])
+        n = BATCH + slim * cap
+        for j, cnt in joins:
+            joined = np.asarray(j)
             k = 0
-            n = BATCH + slim * cap
-            for o in g:
+            for _ in range(cnt):
                 total_calls += host_side(joined[k:k + n], BATCH, cap)
                 n_done += BATCH
                 k += n

@@ -162,7 +162,12 @@ class KmerEngine:
         if cached is not None and cached[0] is csr:
             return cached[1]
         from .device_family import DeviceFamilyScorer
-        dfs = DeviceFamilyScorer(self.db, mapping, ddb=ddb)
+        # famwide=None: auto-gate the folded single-gather family rows.
+        # Round 3 measured them SLOWER at B=16384 — but that chunk size
+        # sits past the family program's tiling cliff (round 5); at the
+        # sub-cliff serving chunks the fold wins ~35% (392 vs 557 ms
+        # per 65k at B=4096, distinct-chunk chained timing).
+        dfs = DeviceFamilyScorer(self.db, mapping, ddb=ddb, famwide=None)
         if dfs.fdb.d > self.DEVICE_FAMILY_MAX_D:
             dfs = None
         mapping._device_scorer = (csr, dfs)
@@ -335,16 +340,17 @@ class KmerEngine:
                 return BestMatchColumns.from_objects([])
             return []
         CH = self.FAMILY_MATCH_CHUNK
-        # Small-window batches (the /fq_lookup ORF regime: L=64 -> W=57,
-        # ~4x fewer windows per row than protein serving) waste most of
-        # each chunk's fixed dispatch+readback floor; scale the chunk so
-        # every dispatch carries a comparable window count.  CH depends
-        # only on the (static) padded width, so compile counts stay
-        # bounded per workload shape.
+        # Scale the chunk so every dispatch carries ~3M windows: fewer
+        # wastes the fixed dispatch floor on small-window batches (the
+        # /fq_lookup ORF regime, W=57), while MORE falls off a measured
+        # program cliff — at protein widths the fused calls+rollup
+        # program costs 18.5 ms at B=8192 but 153 ms at B=16384 (4x
+        # worse per protein; the rollup's [B*W] sort passes a tiling
+        # threshold).  Power-of-2 floor keeps compile counts bounded per
+        # workload shape; an explicit FAMILY_MATCH_CHUNK env raises the
+        # base.
         W = max(1, offsets.shape[1] - 8)
-        if W * CH < 4_000_000:
-            CH = min(65536,
-                     1 << (max(4_000_000 // W, CH) - 1).bit_length())
+        CH = min(65536, max(CH, 1 << max(1, (1_500_000 // W).bit_length() - 1)))
         B = CH if B0 > CH else max(256, 1 << max(B0 - 1, 0).bit_length())
         lengths = np.asarray(lengths, dtype=np.int32)
         import jax.numpy as jnp
@@ -367,15 +373,14 @@ class KmerEngine:
 
         outs = []
 
-        def process_group(group):
+        def process_group(group, joined_dev):
             # One grouped D2H per group: the relay wire has a ~0.3-0.4 s
             # per-transfer latency floor (PERF.md), so reading each
             # chunk's two packs separately costs 4x per 2 chunks; a
             # device-side concatenate makes it a single transfer.
             # Overflow retries (rare) fall back to per-chunk readbacks.
             flats = [x for p in group for x in (p[3], p[5])]
-            joined = np.asarray(jnp.concatenate(flats)) if len(flats) > 1 \
-                else np.asarray(flats[0])
+            joined = np.asarray(joined_dev)
             sizes = [int(x.shape[0]) for x in flats]
             bounds = np.zeros(len(sizes) + 1, dtype=np.int64)
             np.cumsum(sizes, out=bounds[1:])
@@ -429,25 +434,30 @@ class KmerEngine:
                     target_genus_id, genus_filter,
                     as_arrays=as_arrays))
 
-        # Pipeline grouped readbacks against later dispatches: a group's
-        # D2H (which blocks on its device compute AND pays the relay's
-        # per-transfer floor) is issued only after the NEXT group's
-        # chunks are dispatched, so the wire read of group k overlaps
-        # the device compute of group k+1.  Small requests (<= GROUP
-        # chunks) still get exactly one grouped read.
+        # Dispatch-ahead loop (wire_exp2/3, round 5): enqueue EVERY
+        # chunk up front — uploads and computes chain on the device
+        # while the Python thread never blocks — with each GROUP's
+        # device concat dispatched EAGERLY (the device executes
+        # programs in dispatch order, so a concat enqueued during the
+        # drain loop would wait for every later chunk; enqueued here it
+        # runs right after its group and its D2H overlaps later
+        # groups' compute).  Host finishing (unpack, best-call, match
+        # scan) then trails behind the remaining device work.
         GROUP = self.FAMILY_MATCH_GROUP
-        pending = []
-        ready = None
+        groups = []
+        pend = []
         for a in range(0, B0, B):
-            pending.append(dispatch(a))
-            if len(pending) >= GROUP:
-                if ready is not None:
-                    process_group(ready)
-                ready = pending
-                pending = []
-        for group in (ready, pending):
-            if group:
-                process_group(group)
+            pend.append(dispatch(a))
+            if len(pend) >= GROUP:
+                flats = [x for p in pend for x in (p[3], p[5])]
+                groups.append((pend, jnp.concatenate(flats)))
+                pend = []
+        if pend:
+            flats = [x for p in pend for x in (p[3], p[5])]
+            groups.append((pend, jnp.concatenate(flats)
+                           if len(flats) > 1 else flats[0]))
+        for group, joined_dev in groups:
+            process_group(group, joined_dev)
 
         if not as_arrays:
             return [m for chunk in outs for m in chunk]
@@ -455,9 +465,9 @@ class KmerEngine:
         return BestMatchColumns.concat(outs)
 
     FAMILY_MATCH_CHUNK = int(os.environ.get(
-        "CLOSE_KMERS_FAMILY_CHUNK", 16384))
+        "CLOSE_KMERS_FAMILY_CHUNK", 4096))
     FAMILY_MATCH_GROUP = int(os.environ.get(
-        "CLOSE_KMERS_FAMILY_GROUP", 2))  # chunks per grouped D2H
+        "CLOSE_KMERS_FAMILY_GROUP", 4))  # chunks per grouped D2H
 
     def family_scores_batch(self, mapping, h=None) -> tuple:
         """Per-sequence family score accumulation against ``mapping``'s
