@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 N_SRC = int(os.environ.get("BENCH_N_SRC", 70_000))     # source proteins
 PROT_LEN = int(os.environ.get("BENCH_PROT_LEN", 300))
 N_QUERY = int(os.environ.get("BENCH_N_QUERY", 65_536))  # more queries/pass amortize the relay's ~100ms per-transfer floors
-BATCH = int(os.environ.get("BENCH_BATCH", 8192))
+BATCH = int(os.environ.get("BENCH_BATCH", 4096))
 N_CPU = int(os.environ.get("BENCH_N_CPU", 16384))      # baseline sample (large enough to exceed LLC)
 CALL_CAP = float(os.environ.get("BENCH_CALL_CAP", 1.3))  # calls/seq download cap
 PASSES = int(os.environ.get("BENCH_PASSES", 5))        # best-of-N (the relay wire rate swings ~2x; passes are ~1s, warmup dominates)
@@ -122,7 +122,7 @@ def bench_tpu(db, offsets, lengths):
 
     import jax
     import jax.numpy as jnp
-    GROUP = int(os.environ.get("BENCH_GROUP", 4))
+    GROUP = int(os.environ.get("BENCH_GROUP", 16))
 
     # Note: 5-bit packed uploads (engine.pack_offsets) were measured here:
     # the wire savings are real but the device-side unpack's lane
@@ -183,7 +183,7 @@ def bench_tpu(db, offsets, lengths):
             f"{total_calls} calls")
         if best is None or dt / n_done < best[1] / best[0]:
             best = (n_done, dt)
-    return best[0] / best[1], ds
+    return best[0] / best[1], ds, one_pass
 
 
 def bench_device_resident(ds, offsets, lengths):
@@ -202,14 +202,15 @@ def bench_device_resident(ds, offsets, lengths):
     d = ds.ddb
     devperf.WIDE_W = d.wide_w
     devperf.SUB_W = d.sub_w
+    RB = max(BATCH, 8192)   # resident rate is measured at the 8k shape
     with contextlib.redirect_stdout(sys.stderr):
         per = devperf.measure(
             "device-resident probe+scan+compact", devperf.stage_compact,
             devperf._ddb_args(d), d.n, d.n_steps,
-            jnp.asarray(offsets[:BATCH]), jnp.asarray(lengths[:BATCH]))
-    rate = BATCH / per
+            jnp.asarray(offsets[:RB]), jnp.asarray(lengths[:RB]))
+    rate = RB / per
     log(f"device-resident (chained): {rate:.0f} proteins/s "
-        f"({per*1e3:.1f} ms / {BATCH})")
+        f"({per*1e3:.1f} ms / {RB})")
     return rate
 
 
@@ -278,17 +279,20 @@ def bench_family(eng, mapping, offsets, lengths):
         off_q[:KmerEngine.FAMILY_MATCH_CHUNK],
         len_q[:KmerEngine.FAMILY_MATCH_CHUNK], mapping)
     log(f"family warmup+compile {time.time()-t0:.1f}s")
-    best = None
-    for _ in range(PASSES):
+    def fam_pass():
         t0 = time.time()
         ms = eng.best_family_matches_padded(off_q, len_q, mapping)
-        dt = time.time() - t0
+        return ms, time.time() - t0
+
+    best = None
+    for _ in range(PASSES):
+        ms, dt = fam_pass()
         best = dt if best is None else min(best, dt)
     n_called = sum(1 for m in ms if m.gfam_id)
     rate = len(ms) / best
     log(f"family best-match path: {len(ms)} proteins in {best:.2f}s "
         f"best-of-{PASSES} ({rate:.0f} proteins/s, {n_called} placed)")
-    return rate
+    return rate, fam_pass
 
 
 def bench_fastq(eng, mapping, offsets):
@@ -455,7 +459,7 @@ def main():
     rng = np.random.default_rng(0)
     db, offsets, lengths = build_corpus(rng)
     cpu_rate, hp = bench_cpu(db, offsets, lengths)
-    tpu_rate, ds = bench_tpu(db, offsets, lengths)
+    tpu_rate, ds, query_pass = bench_tpu(db, offsets, lengths)
 
     # Per-workload artifact (VERDICT r3 #6): every BASELINE workload in
     # one JSON so regressions are visible round-over-round.  Sections are
@@ -478,9 +482,25 @@ def main():
         log("engine setup failed:", e)
     if eng is not None and os.environ.get("BENCH_FAMILY", "1") == "1":
         try:
-            fam = bench_family(eng, mapping, offsets, lengths)
+            fam, fam_pass = bench_family(eng, mapping, offsets, lengths)
             workloads["family_best_match"] = {
                 "proteins_per_s": round(fam, 1)}
+            # Mood-paired ratio (VERDICT r4 #4): the relay's wire mood
+            # swings 2x between bench sections, so the family/query
+            # ratio bar is measured on INTERLEAVED passes — each
+            # adjacent pair shares the same congestion window.
+            if os.environ.get("BENCH_RATIO", "1") == "1":
+                ratios = []
+                for _ in range(3):
+                    nq, dtq, _ = query_pass()
+                    _ms, dtf = fam_pass()
+                    ratios.append((N_QUERY / dtf) / (nq / dtq))
+                ratios.sort()
+                med = ratios[len(ratios) // 2]
+                log(f"mood-paired family/query ratios: "
+                    f"{[f'{r:.2f}' for r in ratios]} -> median {med:.3f}")
+                workloads["family_best_match"]["mood_paired_ratio"] = \
+                    round(med, 3)
         except Exception as e:
             log("family bench failed:", e)
     if eng is not None and os.environ.get("BENCH_FASTQ", "1") == "1":
