@@ -212,6 +212,60 @@ def main() -> int:
     for r in rows:
         print(f"{r[0]:<3d} {r[1]:8.2f} {r[2]:9.2f} {r[3]:9.2f} "
               f"{r[4]:8.2f} {r[5]:7.2f}")
+
+    # --- weak scaling: each chip keeps a FULL B-row batch (pod batch =
+    # B*S), so per-chip work is route(its own Nw windows) + probe of
+    # its ~Nw received windows vs its n/S-key local slice + finish(B).
+    # This is the pod serving model: chips add DB CAPACITY at ~flat
+    # per-chip throughput; the strong-scaling table above shrinks the
+    # per-chip batch instead and pays small-batch floors.
+    log("")
+    wrows = []
+    for S in S_LIST:
+        h_bounds = _hi_range_bounds(db, S)
+        # a representative middle shard's table slice, loaded with a
+        # full Nw windows (the expected received volume per chip)
+        s = S // 2
+        h0, h1 = int(h_bounds[s]), int(h_bounds[s + 1])
+        a, b = int(bs_arr[h0]), int(bs_arr[h1])
+        sub = SignatureDB(db.keys[a:b] - np.int64(h0) * LO_CARD,
+                          db.fi[a:b], db.oi[a:b], db.avg_off[a:b],
+                          db.wt[a:b], n_hi=h1 - h0)
+        sddb = DeviceDB.from_db(sub)
+        smeta = (sddb.n, sddb.n_steps, sddb.wide_w, sddb.sub_w,
+                 sddb.fused_w)
+        # windows that belong to this shard, tiled up to Nw
+        owner = np.searchsorted(h_bounds, hif, side="right") - 1
+        owner[~vf] = -1
+        m = owner == s
+        own_hi = hif[m] - h0
+        own_lo = lof[m]
+        reps = -(-Nw // max(1, len(own_hi)))
+        full_hi = np.tile(own_hi, reps)[:Nw].astype(np.int32)
+        full_lo = np.tile(own_lo, reps)[:Nw].astype(np.int32)
+        t_probe_w = measure(
+            f"weak S={S} probe ({Nw:,}w vs {b-a:,}k)",
+            probe_stage(smeta), *_ddb_args(sddb),
+            jnp.asarray(full_hi[None, :]), jnp.asarray(full_lo[None, :]),
+            jnp.asarray(np.ones((1, Nw), bool)), k_hi=24, k_lo=8)
+        cap_core = max(8, int(Nw * 2.0 / S))
+        t_route_w = measure(
+            f"weak S={S} route", route_stage(S, min(cap_core, Nw)),
+            jnp.asarray(hif.astype(np.int32)),
+            jnp.asarray(lof.astype(np.int32)), jnp.asarray(vf),
+            jnp.asarray(h_bounds.astype(np.int32)), k_hi=24, k_lo=8)
+        finish = max(t_serve[B] - t_probe[B], 0.0)
+        chip = t_route_w + t_probe_w + finish
+        wrows.append((S, t_route_w * 1e3, t_probe_w * 1e3, finish * 1e3,
+                      chip * 1e3, B / chip))
+        log(f"weak S={S}: route {t_route_w*1e3:.1f} + probe "
+            f"{t_probe_w*1e3:.1f} + finish {finish*1e3:.1f} = "
+            f"{chip*1e3:.1f} ms/chip -> {B/chip:.0f} proteins/s/chip "
+            f"({B/chip*S:.0f} pod aggregate)")
+    print("WEAK  S  route_ms  probe_ms  finish_ms  chip_ms  per_chip/s")
+    for r in wrows:
+        print(f"WEAK {r[0]:<3d} {r[1]:8.2f} {r[2]:9.2f} {r[3]:9.2f} "
+              f"{r[4]:8.2f} {r[5]:9.0f}")
     return 0
 
 
