@@ -374,9 +374,16 @@ def _routed_probe_core(bp, lo_t, payload, hi_base, pw, shh, sb, bounds,
     lof = jnp.where(valid, lo_q, -2).reshape(-1)
     vf = valid.reshape(-1)
 
-    # owning table shard of each window; S = invalid (never routed)
-    owner = jnp.searchsorted(bounds, hif.astype(bounds.dtype),
-                             side="right").astype(i32) - 1
+    # owning table shard of each window; S = invalid (never routed).
+    # Broadcast compare-sum instead of jnp.searchsorted: XLA's
+    # searchsorted leaves its vectorized small-table path past ~64
+    # bounds and the owner stage alone jumped 1 -> 69.6 ms per 1.2M
+    # windows at S=64 (routed_exp --decomp, round 5); S-1 fused
+    # compares are ~1 ms at any S this path serves.  bounds[0] is the
+    # range floor (<= every valid hi), so the j=0 term is constant and
+    # dropped.
+    owner = (hif[:, None] >= bounds[None, 1:S].astype(hif.dtype)).sum(
+        axis=1, dtype=i32)
     owner = jnp.where(vf, jnp.clip(owner, 0, S - 1), S)
     iota = jax.lax.iota(i32, Nw)
     s_owner, s_hi, s_lo, s_pos = jax.lax.sort(

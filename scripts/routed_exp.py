@@ -104,7 +104,8 @@ def route_stage(S, cap):
         i32 = jnp.int32
         from close_kmers_tpu.core.engine import _probe_count_pad
         Nw = hif.shape[0]
-        owner = jnp.searchsorted(bounds, hif, side="right").astype(i32) - 1
+        # compare-sum owner: searchsorted cliffs past ~64 bounds (r5)
+        owner = (hif[:, None] >= bounds[None, 1:S]).sum(axis=1, dtype=i32)
         owner = jnp.where(vf, jnp.clip(owner, 0, S - 1), S)
         iota = jax.lax.iota(i32, Nw)
         s_owner, s_hi, s_lo, s_pos = jax.lax.sort(
@@ -148,7 +149,8 @@ def route_decomp_stages(S, cap):
 
     def base(hif, lof, vf, bounds):
         Nw = hif.shape[0]
-        owner = jnp.searchsorted(bounds, hif, side="right").astype(i32) - 1
+        # compare-sum owner: searchsorted cliffs past ~64 bounds (r5)
+        owner = (hif[:, None] >= bounds[None, 1:S]).sum(axis=1, dtype=i32)
         owner = jnp.where(vf, jnp.clip(owner, 0, S - 1), S)
         iota = jax.lax.iota(i32, Nw)
         return owner, iota
