@@ -231,8 +231,10 @@ def tpu_serve(args) -> None:
         hi, lo, valid = encode_windows(off, ln)
         hif = jnp.where(valid, hi, -1).reshape(-1)
         lof = jnp.where(valid, lo, -2).reshape(-1)
-        owner = jnp.searchsorted(bounds, hif, side="right") \
-            .astype(jnp.int32) - 1
+        # compare-sum owner: jnp.searchsorted cliffs past ~64 bounds
+        # (69.6 ms/1.2M windows at S=64 — routed_exp --decomp, r5)
+        owner = (hif[:, None] >= bounds[None, 1:S]).sum(
+            axis=1, dtype=jnp.int32)
         owner = jnp.where(valid.reshape(-1),
                           jnp.clip(owner, 0, S - 1), S)
         iota = jax.lax.iota(jnp.int32, hif.shape[0])
