@@ -491,7 +491,7 @@ def main():
             # adjacent pair shares the same congestion window.
             if os.environ.get("BENCH_RATIO", "1") == "1":
                 ratios = []
-                for _ in range(3):
+                for _ in range(5):
                     nq, dtq, _ = query_pass()
                     _ms, dtf = fam_pass()
                     ratios.append((N_QUERY / dtf) / (nq / dtq))
