@@ -61,9 +61,11 @@ def _gather_kernel(idx_ref, table_ref, out_ref, sems):
     jax.lax.fori_loop(0, CHUNK, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def pallas_row_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
-    """out[i] = table[idx[i]]; idx length must be a CHUNK multiple."""
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_row_gather(table: jax.Array, idx: jax.Array,
+                      interpret: bool = False) -> jax.Array:
+    """out[i] = table[idx[i]]; idx length must be a CHUNK multiple.
+    ``interpret=True`` emulates on CPU backends (parity tests)."""
     n = idx.shape[0]
     assert n % CHUNK == 0, n
     w = table.shape[1]
@@ -79,4 +81,5 @@ def pallas_row_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
         out_specs=pl.BlockSpec((CHUNK, w), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SemaphoreType.DMA((N_SEM,))],
+        interpret=interpret,
     )(idx, table)

@@ -101,3 +101,16 @@ def test_pallas_select_matches_xla_probe(monkeypatch):
     palls = [np.asarray(x) for x in E.probe_windows(ddb, hi, lo, valid)]
     for k, (a, b) in enumerate(zip(base, palls)):
         assert np.array_equal(a, b), k
+
+
+def test_pallas_gather_parity_interpret():
+    """ops/pallas_gather (the round-5 closing Pallas shot) stays
+    correct: interpret-mode emulation vs numpy on the CPU backend."""
+    import numpy as np
+    from close_kmers_tpu.ops.pallas_gather import pallas_row_gather, CHUNK
+
+    rng = np.random.default_rng(0)
+    table = rng.integers(0, 100, size=(500, 128), dtype=np.int32)
+    idx = rng.integers(0, 500, size=2 * CHUNK).astype(np.int32)
+    got = np.asarray(pallas_row_gather(table, idx, interpret=True))
+    assert (got == table[idx]).all()
