@@ -28,7 +28,7 @@ N_QUERY = int(os.environ.get("BENCH_N_QUERY", 65_536))  # more queries/pass amor
 BATCH = int(os.environ.get("BENCH_BATCH", 4096))
 N_CPU = int(os.environ.get("BENCH_N_CPU", 16384))      # baseline sample (large enough to exceed LLC)
 CALL_CAP = float(os.environ.get("BENCH_CALL_CAP", 1.3))  # calls/seq download cap
-PASSES = int(os.environ.get("BENCH_PASSES", 5))        # best-of-N (the relay wire rate swings ~2x; passes are ~1s, warmup dominates)
+PASSES = int(os.environ.get("BENCH_PASSES", 8))        # best-of-N (the relay wire rate swings ~2x between passes AND whole runs; passes are ~0.3-1s, warmup dominates)
 N_FUNCS = 4096
 CACHE = os.environ.get(
     "BENCH_CACHE",
@@ -323,11 +323,11 @@ def bench_fastq(eng, mapping, offsets):
 
     one_pass()  # warm (ORF chunk shapes)
     best = None
-    for _ in range(5):
+    for _ in range(8):
         dt, n_called = one_pass()
         best = dt if best is None else min(best, dt)
     rate = n_reads / best
-    log(f"fastq path: {n_reads} reads in {best:.2f}s best-of-5 "
+    log(f"fastq path: {n_reads} reads in {best:.2f}s best-of-8 "
         f"({rate:.0f} reads/s, {n_called} called)")
     return rate
 
@@ -360,11 +360,11 @@ def bench_genome(eng, offsets, hp):
 
     one_pass()
     best = None
-    for _ in range(3):
+    for _ in range(6):
         dt, n_calls = one_pass()
         best = dt if best is None else min(best, dt)
     rate = len(genome) / best / 1e6
-    log(f"genome path: {len(genome):,} bp in {best:.2f}s best-of-3 "
+    log(f"genome path: {len(genome):,} bp in {best:.2f}s best-of-6 "
         f"({rate:.2f} Mbp/s, {n_calls} calls)")
 
     # chained throughput (genome-stream serving): dispatch k programs
