@@ -122,7 +122,15 @@ class DeviceFamilyDB:
         H = db.n_hi
         W = max(1, int(db.max_bucket))
         row_w = -(-((2 + D) * W) // 128) * 128
+        # Depth gate (r5): folding only makes sense at wide/fused-tier
+        # bucket depths — a PATRIC-density shard (max bucket 2219) with
+        # a small hi span passes the BYTE gate but its (2+D)*2219-int
+        # rows put every selection in the byte-bound gather class and
+        # the program OOMs HBM at serving batch sizes (caught by
+        # sub_serve_demo on the 971M shard after famwide went auto).
+        from .engine import DeviceDB as _GateDDB
         if force is None and (D > cls.FAMWIDE_MAX_D
+                              or W > _GateDDB.FUSED_BUCKET_MAX
                               or n < cls.FAMWIDE_MIN_KEYS
                               or H * row_w * 4 > cls.FAMWIDE_MAX_BYTES):
             return None
